@@ -1,0 +1,82 @@
+"""Headline benchmark: SPH column-density trace throughput (rays/s/chip).
+
+Mirrors the reference's profile_trace_gadget workload shape
+(ref: tests/profile_trace_gadget/profile_trace_gadget.cu): a clustered
+particle snapshot, plane-parallel ray field, cumulative (column density)
+trace. Baseline for vs_baseline is the north-star target 1e8 rays/s/chip
+(BASELINE.json) since the reference publishes no numbers (BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_PARTICLES = int(os.environ.get("GRACE_BENCH_PARTICLES", 1 << 20))
+N_RAYS = int(os.environ.get("GRACE_BENCH_RAYS", 512 * 512))
+MAX_PER_LEAF = 32
+NORTH_STAR_RAYS_PER_S = 1e8
+
+
+def make_clustered_particles(rng, n):
+    """Gadget-like clustered distribution: Plummer-ish clumps in a unit box."""
+    n_clumps = 256
+    centers = rng.random((n_clumps, 3)).astype(np.float32)
+    assign = rng.integers(0, n_clumps, n)
+    scale = 0.02 + 0.05 * rng.random((n_clumps, 1)).astype(np.float32)
+    pos = centers[assign] + rng.standard_normal((n, 3)).astype(np.float32) * scale[assign]
+    pos = np.clip(pos, 0.0, 1.0)
+    # smoothing length ~ local density proxy
+    h = (0.005 + 0.01 * rng.random(n)).astype(np.float32)
+    return np.concatenate([pos, h[:, None]], axis=1).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from grace_tpu.build.sph import build_sph_tree
+    from grace_tpu.rays.gen import plane_parallel_random_rays
+    from grace_tpu.trace.sph import trace_cumulative_sph
+
+    rng = np.random.default_rng(2026)
+    spheres = jnp.asarray(make_clustered_particles(rng, N_PARTICLES))
+
+    side = int(np.sqrt(N_RAYS))
+    rays = plane_parallel_random_rays(
+        jax.random.key(0), side, side, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), length=6.0
+    )
+
+    build = jax.jit(lambda s: build_sph_tree(s, MAX_PER_LEAF))
+    sorted_spheres, tree, _ = build(spheres)
+    jax.block_until_ready(sorted_spheres)
+
+    trace = jax.jit(trace_cumulative_sph)
+    img = trace(rays, sorted_spheres, tree)
+    jax.block_until_ready(img)  # warm-up / compile
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        img = trace(rays, sorted_spheres, tree)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    rays_per_s = (side * side) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sph_column_density_rays_per_s_per_chip",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / NORTH_STAR_RAYS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Multi-chip distribution (capability the reference lacks: it is single-GPU,
+ref SURVEY.md section 2.3 — no NCCL/MPI anywhere).
+
+TPU-native scaling design (BASELINE.json north star):
+
+  * axis "rays":  rays / image tiles are embarrassingly parallel — shard
+    them; particles + tree replicated. Zero communication in the forward;
+    per-particle gradients are psum-reduced over this axis (inserted
+    automatically by shard_map's reverse-mode transpose).
+  * axis "space": when particles exceed one chip's HBM, shard particles
+    spatially; each shard builds its *local* BVH, and fixed-size ray blocks
+    circulate around the ring via ppermute, accumulating column density from
+    each particle shard in turn — structurally identical to ring attention:
+    blocks move, per-ray accumulators ride along, collectives stay on ICI.
+
+Both axes compose in a 2D mesh; ``sharded_train_step`` demonstrates the
+full differentiable pipeline (render -> loss -> particle gradients ->
+SGD update) under jit over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from grace_tpu.build.sph import build_sph_tree
+from grace_tpu.core.types import Rays
+from grace_tpu.trace.render import find_hits, integrate_hits
+from grace_tpu.trace.sph import trace_cumulative_sph
+
+
+def make_mesh(n_rays_axis: int, n_space_axis: int = 1, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    n = n_rays_axis * n_space_axis
+    import numpy as np
+
+    dev = np.asarray(devices[:n]).reshape(n_rays_axis, n_space_axis)
+    return Mesh(dev, axis_names=("rays", "space"))
+
+
+def replicated_sharded_render(
+    mesh: Mesh, rays: Rays, spheres, tree, capacity_per_shard: int
+):
+    """v1 scaling: rays sharded over the whole mesh, particles replicated."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(("rays", "space")), P(), jax.tree_util.tree_map(lambda _: P(), tree)),
+        out_specs=P(("rays", "space")),
+    )
+    def shard_render(local_rays, spheres, tree):
+        recs = find_hits(local_rays, spheres, tree, capacity_per_shard)
+        return integrate_hits(recs, local_rays, spheres, local_rays.n_rays)
+
+    return shard_render(rays, spheres, tree)
+
+
+def ring_render_and_loss(
+    local_rays: Rays,
+    local_spheres,
+    target,
+    capacity: int,
+    max_per_leaf: int,
+    space_axis: str = "space",
+):
+    """Inside-shard_map body: ring column-density render + local loss.
+
+    Each space shard builds the BVH of its resident particles once, then the
+    ray blocks (with their accumulators) make a full circuit of the ring; at
+    every step the block accumulates the local shard's contribution before
+    being ppermute'd to the next neighbor. After axis_size steps every block
+    is home with the full integral.
+    """
+    n_space = jax.lax.axis_size(space_axis)
+    idx = jax.lax.axis_index(space_axis)
+    perm = [(i, (i + 1) % n_space) for i in range(n_space)]
+
+    sorted_spheres, tree, _ = build_sph_tree(local_spheres, max_per_leaf)
+
+    def step(carry, _):
+        rays_blk, acc = carry
+        recs = find_hits(rays_blk, jax.lax.stop_gradient(sorted_spheres), tree, capacity)
+        acc = acc + integrate_hits(recs, rays_blk, sorted_spheres, rays_blk.n_rays)
+        rays_nxt = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, space_axis, perm), rays_blk
+        )
+        acc_nxt = jax.lax.ppermute(acc, space_axis, perm)
+        return (rays_nxt, acc_nxt), None
+
+    # scan requires a consistent carry type under shard_map: ppermute makes
+    # every carry leaf varying over the mesh axes, so promote any
+    # still-invariant leaf (e.g. broadcast constants) before the scan.
+    from grace_tpu.utils.vma import promote_to_vma
+
+    acc0 = jnp.zeros((local_rays.n_rays,), jnp.float32)
+    init = promote_to_vma((local_rays, acc0), frozenset(("rays", space_axis)))
+    (rays_out, img), _ = jax.lax.scan(step, init, None, length=n_space)
+    # After n_space ppermutes the block is back at its home shard.
+    local_loss = jnp.sum((img - target) ** 2)
+    return img, local_loss
+
+
+def sharded_train_step(
+    mesh: Mesh,
+    rays: Rays,
+    spheres,
+    targets,
+    capacity: int,
+    max_per_leaf: int,
+    lr: float = 1e-3,
+):
+    """Full differentiable training step over a ("rays", "space") mesh.
+
+    Rays and targets are sharded over both axes (each space lane starts with
+    its own resident ray block); particles are sharded over "space" and
+    replicated over "rays". The loss gradient w.r.t. the local particle shard
+    is psum'd over "rays" by shard_map's transpose; the returned updated
+    particles keep the P("space") sharding.
+    """
+
+    def train(rays, spheres, targets):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(("rays", "space")), P("space"), P(("rays", "space"))),
+            out_specs=(P("space"), P()),
+        )
+        def grad_shard(local_rays, local_spheres, local_targets):
+            def loss_fn(ls):
+                _, local_loss = ring_render_and_loss(
+                    local_rays, ls, local_targets, capacity, max_per_leaf
+                )
+                # Total loss over every ray shard: psum over both axes.
+                return jax.lax.psum(local_loss, ("rays", "space"))
+
+            loss, g = jax.value_and_grad(loss_fn)(local_spheres)
+            return g, loss
+
+        g, loss = grad_shard(rays, spheres, targets)
+        new_spheres = spheres - lr * g
+        return new_spheres, loss
+
+    return jax.jit(train)(rays, spheres, targets)

@@ -96,8 +96,11 @@ def cubic_spline_line_integral(beta):
     # as beta -> 0; the epsilon only avoids log(0) NaNs at exactly beta = 0.
     eps = jnp.asarray(1e-20, dt)
 
-    z1 = jnp.sqrt(jnp.maximum(1.0 - b2, 0.0))
-    zs = jnp.sqrt(jnp.maximum(0.25 - b2, 0.0))
+    # The eps floor keeps sqrt away from 0 where the outer max clamps, so
+    # autodiff sees grad(max) = 0 rather than 0 * sqrt'(0) = NaN; forward
+    # error is O(sqrt(eps)) ~ 1e-15.
+    z1 = jnp.sqrt(jnp.maximum(1.0 - b2, eps))
+    zs = jnp.sqrt(jnp.maximum(0.25 - b2, eps))
 
     def log_zps(z):
         s = jnp.sqrt(z * z + b2)

@@ -158,6 +158,11 @@ def trace(
         return jnp.any(sp > 0)
 
     state = (stack, sp, ray_data, global_init)
+    # Under shard_map the loop body mixes sharded inputs into the carry; the
+    # carry must start with the matching varying-axes type.
+    from grace_tpu.utils.vma import promote_to_vma, union_vma
+
+    state = promote_to_vma(state, union_vma(rays, tree, prims))
     stack, sp, ray_data, global_state = jax.lax.while_loop(cond, body, state)
 
     if functors.ray_exit is not None:

@@ -1,0 +1,146 @@
+"""Differentiable SPH column-density rendering.
+
+This is the capability the reference does not have (it is forward-only CUDA):
+pixel gradients with respect to particle positions, smoothing lengths and
+per-particle weights (masses/densities).
+
+TPU-native design: rendering factors into
+  1. ``find_hits`` — BVH traversal producing (ray, particle) hit-id records.
+     Discrete, non-differentiable, and naturally treated as a constant of the
+     backward pass (the hit set is piecewise constant in the particle
+     parameters; its boundary contributions have measure zero, the standard
+     SPH-splatting gradient convention).
+  2. ``integrate_hits`` — pure gather + elementwise kernel evaluation +
+     ``segment_sum`` over records. Everything here is differentiable by
+     construction, so ``jax.grad`` flows through gathers into per-particle
+     scatter-adds without any custom VJP, and the per-particle gradient
+     accumulation is XLA's deterministic segment-sum (no atomics — compare
+     the scatter contention an atomics-based CUDA backward would face).
+
+The fused Pallas forward (grace_tpu.trace.pallas_kernel) is the fast
+inference path; this module is the autodiff path and the correctness anchor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from grace_tpu.core.tree import Tree
+from grace_tpu.core.types import Rays
+from grace_tpu.ops.intersect import sphere_hit
+from grace_tpu.ops.interpolate import lerp
+from grace_tpu.sph.kernel_integrals import DENSE_KERNEL_INTEGRAL_TABLE
+from grace_tpu.trace import functors as F
+from grace_tpu.trace.engine import TraceFunctors, trace
+from grace_tpu.trace.sph import trace_hitcounts_sph
+
+# Host (numpy) constant: on the axon TPU platform, device-committed jit
+# closure constants make MLIR lowering fetch them back over the tunnel
+# (~60s per compile); numpy constants embed host-side for free.
+_DEFAULT_TABLE = np.asarray(DENSE_KERNEL_INTEGRAL_TABLE, np.float32)
+
+
+class HitRecords(NamedTuple):
+    ray: jax.Array        # i32[capacity] ray id per hit (capacity-padded)
+    prim: jax.Array       # i32[capacity] particle id per hit
+    valid: jax.Array      # bool[capacity]
+    total_hits: jax.Array # i32[] true hit count (> capacity => overflow)
+
+
+def find_hits(
+    rays: Rays, spheres, tree: Tree, capacity: int, stack_size: int = 64
+) -> HitRecords:
+    """Traverse and record (ray, particle) id pairs for every intersection."""
+    counts = trace_hitcounts_sph(rays, spheres, tree, stack_size)
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    total = jnp.sum(counts)
+    fx = TraceFunctors(
+        intersect=F.intersect_sphere,
+        on_hit=F.make_on_hit_record_ids(capacity),
+    )
+    buffers = dict(
+        ray=jnp.full((capacity,), -1, jnp.int32),
+        prim=jnp.zeros((capacity,), jnp.int32),
+    )
+    _, buffers = trace(
+        rays, tree, spheres, fx,
+        ray_data_init=offsets, global_init=buffers, stack_size=stack_size,
+    )
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    valid = (buffers["ray"] >= 0) & (pos < total)
+    return HitRecords(ray=buffers["ray"], prim=buffers["prim"], valid=valid, total_hits=total)
+
+
+def integrate_hits(
+    records: HitRecords,
+    rays: Rays,
+    spheres,
+    n_rays: int,
+    weights=None,
+    table=None,
+    use_closed_form: bool = False,
+) -> jax.Array:
+    """Differentiable per-ray column density from hit records.
+
+    integral_r = sum over hits (r, p) of w_p * F(b_rp / h_p) / h_p^2
+    with F the cubic-spline line integral (table lerp, whose analytic
+    derivative is exact for the interpolant). Gradients flow to ``spheres``
+    (positions and h) and ``weights``.
+    """
+    table = _DEFAULT_TABLE if table is None else table
+    rid = jnp.clip(records.ray, 0, n_rays - 1)
+    pid = records.prim
+    o = rays.origins[rid]
+    d = rays.directions[rid]
+    ln = rays.lengths[rid]
+    s = spheres[pid]
+    # Recompute the impact parameter differentiably (the traversal only
+    # recorded ids). Do not re-apply the hit predicate: the record set is the
+    # hit set; gating on a recomputed predicate would inject zero-measure
+    # discontinuities into the gradient.
+    _, b2, _ = sphere_hit(o, d, ln, s)
+    h = s[:, 3]
+    ir = 1.0 / h
+    # Double-where: sanitize padding records *before* the nonsmooth kernel
+    # evaluation, else their NaN cotangents (e.g. d/db sqrt(0) at b >= 1)
+    # poison the masked-out gradient path.
+    b2 = jnp.where(records.valid, b2, 0.25 * h * h)
+    b = jnp.sqrt(jnp.maximum(b2, 1e-30)) * ir
+    if use_closed_form:
+        # Smooth evaluation (exact in f64); preferred for gradient checks.
+        from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral
+
+        contrib = cubic_spline_line_integral(b) * (ir * ir)
+    else:
+        n = table.shape[0]
+        contrib = lerp((n - 1) * b, table) * (ir * ir)
+    if weights is not None:
+        contrib = contrib * weights[pid]
+    contrib = jnp.where(records.valid, contrib, 0.0)
+    return jax.ops.segment_sum(contrib, rid, num_segments=n_rays)
+
+
+def render_column_density(
+    rays: Rays,
+    spheres,
+    tree: Tree,
+    capacity: int,
+    weights=None,
+    table=None,
+    stack_size: int = 64,
+) -> jax.Array:
+    """End-to-end differentiable column-density render.
+
+    Equivalent forward result to ``trace_cumulative_sph`` (the reference's
+    project_gadget pipeline, ref: tests/project_gadget/project_gadget.cu:77),
+    but with gradients w.r.t. spheres and weights. The traversal's id records
+    carry no gradient, so wrap ``find_hits`` under ``stop_gradient``
+    semantics implicitly (integer outputs).
+    """
+    records = find_hits(rays, jax.lax.stop_gradient(spheres), tree, capacity, stack_size)
+    return integrate_hits(records, rays, spheres, rays.n_rays, weights, table)

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -27,7 +29,10 @@ from grace_tpu.sph.kernel_integrals import DENSE_KERNEL_INTEGRAL_TABLE
 from grace_tpu.trace import functors as F
 from grace_tpu.trace.engine import TraceFunctors, trace
 
-_DEFAULT_TABLE = jnp.asarray(DENSE_KERNEL_INTEGRAL_TABLE, jnp.float32)
+# Host (numpy) constant: on the axon TPU platform, device-committed jit
+# closure constants make MLIR lowering fetch them back over the tunnel
+# (~60s per compile); numpy constants embed host-side for free.
+_DEFAULT_TABLE = np.asarray(DENSE_KERNEL_INTEGRAL_TABLE, np.float32)
 
 
 def trace_hitcounts_sph(rays: Rays, spheres, tree: Tree, stack_size: int = 64):

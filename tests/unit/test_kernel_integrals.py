@@ -1,0 +1,61 @@
+"""SPH kernel line-integral table tests: agreement with the reference's
+committed constants (ref: cuda/trace_sph.cuh:31-49) within the reference
+table's own accuracy (~2.5e-6 — entry 0 should be exactly 6/pi), internal
+consistency of the closed form, and normalization."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grace_tpu.sph.kernel_integrals import (
+    DENSE_KERNEL_INTEGRAL_TABLE,
+    KERNEL_INTEGRAL_TABLE,
+    N_TABLE,
+    cubic_spline_line_integral,
+    make_kernel_integral_table,
+)
+
+# Spot values from the reference table (data constants cited for parity).
+REF_SAMPLES = {
+    0: 1.90986019771937,
+    1: 1.90563449910964,
+    18: 0.924475767210246,
+    25: 0.444144023534733,
+    35: 8.432088120445191e-02,
+    49: 7.387919939044624e-06,
+    50: 0.0,
+}
+
+
+def test_table_matches_reference_constants():
+    assert len(KERNEL_INTEGRAL_TABLE) == N_TABLE
+    for i, v in REF_SAMPLES.items():
+        assert abs(KERNEL_INTEGRAL_TABLE[i] - v) < 3e-6, (i, KERNEL_INTEGRAL_TABLE[i], v)
+
+
+def test_table_first_entry_is_exact():
+    assert abs(KERNEL_INTEGRAL_TABLE[0] - 6.0 / np.pi) < 1e-12
+
+
+def test_closed_form_matches_quadrature_f64():
+    import jax
+    with jax.enable_x64(True):
+        betas = jnp.linspace(0.0, 1.0, 101, dtype=jnp.float64)
+        cf = np.array(cubic_spline_line_integral(betas))
+    quad = make_kernel_integral_table(101)
+    # atol 1e-8: the NaN-guard eps floor inside the sqrt clamps perturbs the
+    # closed form by ~sqrt(1e-20) = 1e-10 near the support edges.
+    np.testing.assert_allclose(cf, quad, atol=1e-8)
+
+
+def test_plane_normalization():
+    # Integral of F(b) over the plane must be 1: 2*pi Int_0^1 b F(b) db = 1.
+    b = np.linspace(0, 1, 20001)
+    f = make_kernel_integral_table(20001)
+    total = 2 * np.pi * np.trapezoid(b * f, b)
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_dense_table_monotone_decreasing():
+    t = DENSE_KERNEL_INTEGRAL_TABLE
+    assert np.all(np.diff(t) <= 0)
+    assert t[0] > 1.9 and t[-1] == 0.0
