@@ -39,8 +39,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from grace_tpu.build.sph import build_sph_tree
-    from grace_tpu.rays.gen import plane_parallel_random_rays
-    from grace_tpu.trace.sph import trace_cumulative_sph
+    from grace_tpu.rays.gen import plane_parallel_random_rays, spatial_sort_rays
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 
     rng = np.random.default_rng(2026)
     spheres = jnp.asarray(make_clustered_particles(rng, N_PARTICLES))
@@ -54,15 +54,25 @@ def main():
     sorted_spheres, tree, _ = build(spheres)
     jax.block_until_ready(sorted_spheres)
 
-    trace = jax.jit(trace_cumulative_sph)
-    img = trace(rays, sorted_spheres, tree)
-    jax.block_until_ready(img)  # warm-up / compile
+    # Ray-coherence sort (part of the pipeline, as in the reference's
+    # gen+sort stage) then the fused Pallas trace.
+    rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
+
+    def run():
+        img, ovf = pallas_trace_sph(
+            rays_s, sorted_spheres, tree, tile=128, max_chunks=4096
+        )
+        # np.array forces execution AND surfaces device faults (the axon
+        # platform does not raise from block_until_ready alone).
+        return np.array(img), np.array(ovf)
+
+    img, ovf = run()  # warm-up / compile
+    assert not ovf.any(), "tile segment-list overflow; raise max_chunks"
 
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        img = trace(rays, sorted_spheres, tree)
-    jax.block_until_ready(img)
+        img, _ = run()
     dt = (time.perf_counter() - t0) / n_iter
 
     rays_per_s = (side * side) / dt

@@ -42,6 +42,26 @@ def _sort_rays_by_keys(rays: Rays, keys) -> Rays:
     return rays[order]
 
 
+def spatial_sort_rays(rays: Rays, aabb_min=None, aabb_max=None):
+    """Sort rays by the 30-bit Morton key of their segment midpoint.
+
+    Tile coherence is load-bearing for the Pallas trace path (small tile
+    AABBs => selective broadphase), the TPU analog of the reference's
+    ray-coherence sorts (ref: kernels/gen_rays.cuh:483-485, 584-617). Returns
+    (sorted_rays, order, inverse_order) so per-ray outputs can be scattered
+    back: original_values = traced_values[inverse_order].
+    """
+    mid = rays.origins + 0.5 * rays.lengths[:, None] * rays.directions
+    if aabb_min is None:
+        aabb_min = jnp.min(mid, axis=0)
+    if aabb_max is None:
+        aabb_max = jnp.max(mid, axis=0)
+    keys = morton_keys_from_centroids(mid, aabb_min, aabb_max, bits=30)
+    order = jnp.argsort(keys)
+    inv = jnp.argsort(order)
+    return rays[order], order, inv
+
+
 def uniform_random_rays(key, n_rays: int, origin, length, sort: bool = True) -> Rays:
     """Isotropic random rays from a common origin
     (ref: gen_rays.cuh:26-36, kernels/gen_rays.cuh:119-161, 454-485).

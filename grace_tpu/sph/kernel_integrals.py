@@ -69,6 +69,63 @@ def make_kernel_integral_table(n: int = N_TABLE) -> np.ndarray:
 
 KERNEL_INTEGRAL_TABLE = make_kernel_integral_table()
 
+def _fit_chebyshev_pieces():
+    """Piecewise Chebyshev fit of F for gather-free in-kernel evaluation.
+
+    Piece 1: F as a function of x = beta^2 on [0, 1/4] (F is a function of
+    beta^2 only). Piece 2: F = v^{7/2} * P(v) with v = 1 - beta^2 on
+    [1/4, 1), which factors out the (1 - beta)^{7/2} vanishing at the kernel
+    edge. Clenshaw evaluation keeps f32 error < 6e-6 (monomial conversion
+    would blow up to ~2e-3).
+    """
+    b1 = np.linspace(0.0, 0.5, 2001)
+    f1 = np.array([_line_integral_quadrature(b) for b in b1])
+    c1 = np.polynomial.chebyshev.Chebyshev.fit(b1 * b1, f1, 14)
+    b2g = np.linspace(0.5, 1.0, 2001)[:-1]
+    f2 = np.array([_line_integral_quadrature(b) for b in b2g])
+    v = 1.0 - b2g * b2g
+    c2 = np.polynomial.chebyshev.Chebyshev.fit(v, f2 / v**3.5, 10)
+    # Short variants for the hot Pallas kernel: max error ~6e-5, well inside
+    # the 5e-4 physics tolerance, at half the Clenshaw iteration count.
+    c1s = np.polynomial.chebyshev.Chebyshev.fit(b1 * b1, f1, 8)
+    c2s = np.polynomial.chebyshev.Chebyshev.fit(v, f2 / v**3.5, 6)
+    return (c1.coef, c1.domain), (c2.coef, c2.domain), (c1s.coef, c2s.coef)
+
+
+(_CHEB1, _CHEB1_DOM), (_CHEB2, _CHEB2_DOM), (_CHEB1_SHORT, _CHEB2_SHORT) = (
+    _fit_chebyshev_pieces()
+)
+
+
+def _clenshaw(coefs, t):
+    b_kp1 = jnp.zeros_like(t)
+    b_kp2 = jnp.zeros_like(t)
+    for c in coefs[:0:-1]:
+        b_kp1, b_kp2 = 2.0 * t * b_kp1 - b_kp2 + jnp.float32(c), b_kp1
+    return t * b_kp1 - b_kp2 + jnp.float32(coefs[0])
+
+
+def cubic_spline_line_integral_poly(b2, fast: bool = False):
+    """F(beta) from beta^2, as pure f32 polynomial math (no gathers/logs).
+
+    The Pallas trace kernels use this form: b2 comes straight out of the
+    ray-sphere test as (b/h)^2, Clenshaw needs only fused multiply-adds on
+    the VPU, and max abs error vs quadrature is < 6e-6 (< 7e-5 with
+    ``fast=True``, the half-length fit used in the hot kernels).
+    """
+    c1 = _CHEB1_SHORT if fast else _CHEB1
+    c2 = _CHEB2_SHORT if fast else _CHEB2
+    b2 = jnp.asarray(b2, jnp.float32)
+    lo1, hi1 = _CHEB1_DOM
+    t1 = jnp.clip((2.0 * b2 - (lo1 + hi1)) / (hi1 - lo1), -1.0, 1.0)
+    f_in = _clenshaw(c1, t1.astype(jnp.float32))
+    v = jnp.maximum(1.0 - b2, 0.0)
+    lo2, hi2 = _CHEB2_DOM
+    t2 = jnp.clip((2.0 * v - (lo2 + hi2)) / (hi2 - lo2), -1.0, 1.0)
+    f_out = _clenshaw(c2, t2.astype(jnp.float32)) * (v * v * v * jnp.sqrt(v))
+    return jnp.where(b2 <= 0.25, f_in, jnp.where(b2 < 1.0, f_out, 0.0))
+
+
 # Dense table for the differentiable f32 path. The closed form below is exact
 # in f64 but suffers ~1e-3 cancellation error in f32 (TPU has no f64 compute),
 # so gradients/fast-path use this 2048-entry derived table + lerp: forward

@@ -1,0 +1,314 @@
+"""Fused SPH trace as a streaming Pallas TPU kernel.
+
+The performance path replacing the reference's warp-cooperative trace kernel
+(ref: include/grace/cuda/kernels/bintree_trace.cuh:52-197). Three-stage
+design:
+
+  stage 1  broadphase (grace_tpu.trace.broadphase): each coherence-sorted
+           ray tile walks the BVH once, collecting overlapped leaves.
+  stage 2  segmentation (here): leaves are mapped onto 128-primitive ALIGNED
+           segments of the Morton-sorted primitive array and deduplicated
+           per tile. Segments partition primitive space, so after dedup each
+           primitive is tested at most once per tile, and segment padding
+           (h = 0) can never hit — no masks needed in the kernel.
+  stage 3  THIS KERNEL: grid over ray tiles; per tile, stream its segment
+           list with double-buffered HBM->VMEM DMA of (8, 128) component-
+           major primitive slabs (the analog of the reference's warp-
+           cooperative SMEM staging, bintree_trace.cuh:178-181), and
+           evaluate the dense (tile_rays x 128) intersection + cubic-spline
+           line integral on the VPU. The SPH integral uses the Clenshaw
+           piecewise-Chebyshev form (kernel_integrals.py) — no gathers.
+
+Layouts are chosen for Mosaic's (sublane, lane) tiling rules:
+  rays  f32[R_pad, 16]    one row per ray (o, d, 1/d, len, pad) — block
+                          (TILE, 16); per-component (TILE, 1) sublane columns.
+  prims f32[8, N_pad]     component-major (x, y, z, h, 4 zero rows); manual
+                          DMA slices are (8, 128) and 128-lane aligned.
+  out   f32[R_pad, 1]     per-ray accumulator column.
+
+Segment lists ride in SMEM per tile (the paged-attention block-table
+pattern). Conservative culling: a hit found from any extra primitive in an
+overlapped segment is a true hit (the exact per-ray test decides), and
+dedup guarantees it is counted exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grace_tpu.core.tree import Tree
+from grace_tpu.core.types import Rays
+from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_poly
+from grace_tpu.trace.broadphase import collect_tile_chunks
+
+DEFAULT_TILE = 512
+SEG = 128  # primitives per aligned segment (= one DMA slab of lanes)
+
+
+def _pack_rays(rays: Rays, tile: int):
+    n = rays.n_rays
+    pad = (-n) % tile
+    o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
+    d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
+    ln = jnp.pad(rays.lengths, ((0, pad),), constant_values=-1.0)  # never hits
+    inv = 1.0 / d
+    cols = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            inv[:, 0], inv[:, 1], inv[:, 2], ln]
+    packed = jnp.stack(cols + [jnp.zeros_like(ln)] * (16 - len(cols)), axis=1)
+    return packed, n + pad
+
+
+def _pack_prims(spheres: jax.Array):
+    """Component-major f32[8, N_pad] with h = 0 padding (cannot hit)."""
+    n = spheres.shape[0]
+    n_pad = ((n + SEG - 1) // SEG) * SEG
+    p = jnp.pad(spheres, ((0, n_pad - n), (0, 0)))
+    pt = jnp.transpose(p)                      # (4, N_pad)
+    return jnp.pad(pt, ((0, 4), (0, 0))), n_pad
+
+
+def tile_segments(rays: Rays, tree: Tree, tile: int, max_chunks: int,
+                  n_prims: int, stack_size: int = 128):
+    """Stages 1+2: per-tile deduplicated 128-aligned segment ids.
+
+    Returns (seg_ids i32[n_tiles, max_chunks], n_segs i32[n_tiles],
+    overflow bool[n_tiles]).
+    """
+    chunks = collect_tile_chunks(rays, tree, tile, max_chunks, stack_size)
+    n_seg_total = (n_prims + SEG - 1) // SEG
+    valid = jnp.arange(chunks.first.shape[1]) < chunks.n_chunks[:, None]
+    lo = chunks.first >> 7
+    hi = (chunks.first + jnp.maximum(chunks.count - 1, 0)) >> 7
+    big = jnp.int32(n_seg_total)  # sorts after every real segment id
+    segs = jnp.concatenate(
+        [jnp.where(valid, lo, big), jnp.where(valid & (hi != lo), hi, big)],
+        axis=1,
+    )
+    segs = jnp.sort(segs, axis=1)
+    fresh = jnp.concatenate(
+        [jnp.ones_like(segs[:, :1], jnp.bool_), segs[:, 1:] != segs[:, :-1]],
+        axis=1,
+    ) & (segs < big)
+    # Stable-compact unique segments to the front.
+    order = jnp.argsort(jnp.logical_not(fresh), axis=1, stable=True)
+    segs_u = jnp.take_along_axis(segs, order, axis=1)
+    n_segs = jnp.sum(fresh, axis=1).astype(jnp.int32)
+    seg_ids = jnp.where(
+        jnp.arange(segs_u.shape[1]) < n_segs[:, None], segs_u, 0
+    )[:, : chunks.first.shape[1]]
+    n_kept = jnp.minimum(n_segs, seg_ids.shape[1])
+    overflow = chunks.overflow | (n_segs > seg_ids.shape[1])
+    return seg_ids, n_kept, overflow
+
+
+def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
+    """(tile, SEG) intersection + integral against one primitive slab."""
+    px = slab[0:1, :]            # (1, SEG)
+    py = slab[1:2, :]
+    pz = slab[2:3, :]
+    ph = slab[3:4, :]
+
+    # sphere_hit (ref: generic/intersect.h:10-55), tile rays x segment.
+    rx = px - ox                 # (TILE, SEG)
+    ry = py - oy
+    rz = pz - oz
+    dot = rx * dx + ry * dy + rz * dz
+    bx = rx - dot * dx
+    by = ry - dot * dy
+    bz = rz - dot * dz
+    b2 = bx * bx + by * by + bz * bz
+    h2 = ph * ph
+    hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+
+    if mode == "cumulative":
+        inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
+        contrib = cubic_spline_line_integral_poly(b2 * inv_h2, fast=True) * inv_h2
+        return acc + jnp.sum(jnp.where(hit, contrib, 0.0), axis=1, keepdims=True)
+    return acc + jnp.sum(hit.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _ray_columns(rays_ref):
+    rays = rays_ref[...]
+    return (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3], rays[:, 3:4],
+            rays[:, 4:5], rays[:, 5:6], rays[:, 9:10])
+
+
+def _trace_tile_kernel_stream(
+    n_segs_ref,     # SMEM (1, 1, 1)
+    segs_ref,       # SMEM (1, 1, max_chunks)
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # HBM (8, N_pad)
+    out_ref,        # VMEM (TILE, 1)
+    pbuf,           # VMEM scratch (NBUF, 8, SEG)
+    sem,            # DMA sems (NBUF,)
+    *,
+    mode: str,
+):
+    tile = rays_ref.shape[0]
+    nbuf = pbuf.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    n = n_segs_ref[0, 0, 0]
+
+    def dma(slot, k):
+        seg = segs_ref[0, 0, k]
+        return pltpu.make_async_copy(
+            prims_ref.at[:, pl.ds(seg * SEG, SEG)], pbuf.at[slot], sem.at[slot]
+        )
+
+    # Warm the pipeline nbuf deep.
+    for w in range(nbuf):
+        @pl.when(w < n)
+        def _(w=w):
+            dma(w, w).start()
+
+    def body(k, acc):
+        slot = jax.lax.rem(k, nbuf)
+
+        @pl.when(k + nbuf < n)
+        def _():
+            dma(jax.lax.rem(k + nbuf, nbuf), k + nbuf).start()
+
+        dma(slot, k).wait()
+        return _seg_compute(pbuf[slot], ox, oy, oz, dx, dy, dz, ln, acc, mode)
+
+    acc0 = jnp.zeros((tile, 1), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)
+
+
+def _trace_tile_kernel_resident(
+    n_segs_ref,     # SMEM (1, 1, 1)
+    segs_ref,       # SMEM (1, 1, max_chunks)
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs, 8, SEG) — whole particle set resident
+    out_ref,        # VMEM (TILE, 1)
+    *,
+    mode: str,
+):
+    """No-DMA variant: the entire (segmented) particle array lives in VMEM
+    and slabs are read by dynamic leading-axis indexing. Usable while
+    n_segs * 8 * SEG * 4B fits the VMEM budget (~2-3M particles)."""
+    tile = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    n = n_segs_ref[0, 0, 0]
+
+    # 2-wide unroll amortizes loop/branch overhead; the odd trailing segment
+    # is handled by a final predicated step.
+    def body(k2, acc):
+        k = k2 * 2
+        slab = prims_ref[segs_ref[0, 0, k]]
+        acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        slab2 = prims_ref[segs_ref[0, 0, k + 1]]
+        return _seg_compute(slab2, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+
+    acc0 = jnp.zeros((tile, 1), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // 2, body, acc0)
+    acc = jax.lax.cond(
+        (n & 1) == 1,
+        lambda a: _seg_compute(
+            prims_ref[segs_ref[0, 0, jnp.maximum(n - 1, 0)]],
+            ox, oy, oz, dx, dy, dz, ln, a, mode,
+        ),
+        lambda a: a,
+        acc,
+    )
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile", "max_chunks", "mode", "interpret", "stack_size", "broadphase",
+        "vmem_resident_limit",
+    ),
+)
+def pallas_trace_sph(
+    rays: Rays,
+    spheres: jax.Array,
+    tree: Tree,
+    tile: int = DEFAULT_TILE,
+    max_chunks: int = 2048,
+    mode: str = "cumulative",
+    interpret: bool = False,
+    stack_size: int = 128,
+    broadphase: str = "dense",
+    vmem_resident_limit: int = 48 * 1024 * 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Column density (mode='cumulative') or hit counts (mode='hitcount')
+    per ray via broadphase + streaming Pallas kernel.
+
+    Returns (per_ray_values f32/i32[R], overflow bool[n_tiles]). Overflowed
+    tiles have incomplete sums — re-run with a larger max_chunks.
+    ``broadphase``: 'dense' (default; hierarchical-free segment culling,
+    see pallas_broadphase.py) or 'xla' (lockstep BVH walk oracle).
+    """
+    if mode not in ("cumulative", "hitcount"):
+        raise ValueError(f"unknown mode {mode!r}")
+    n_rays = rays.n_rays
+    pad = (-n_rays) % tile
+    if pad:
+        # Pad with never-hit rays (length -1) so the broadphase and kernel
+        # see whole tiles; the padding shares the last rays' origins to keep
+        # the final tile's AABB tight.
+        rays = Rays(
+            jnp.concatenate([rays.origins, jnp.broadcast_to(rays.origins[-1:], (pad, 3))]),
+            jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
+            jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
+        )
+    if broadphase in ("dense", "pallas"):
+        from grace_tpu.trace.pallas_broadphase import dense_tile_segments
+
+        seg_ids, n_segs, overflow = dense_tile_segments(
+            rays, spheres, tile, max_chunks
+        )
+    else:
+        seg_ids, n_segs, overflow = tile_segments(
+            rays, tree, tile, max_chunks, spheres.shape[0], stack_size
+        )
+    packed, r_pad = _pack_rays(rays, tile)
+    prims_t, n_prim_pad = _pack_prims(spheres)
+    n_tiles = r_pad // tile
+
+    common_in_specs = [
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, seg_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    common_args = [n_segs[:, None, None], seg_ids[:, None, :], packed]
+    resident = (n_prim_pad // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if resident:
+        # (n_segs, 8, SEG) VMEM-resident slabs; constant index map keeps the
+        # buffer live across grid steps.
+        prims3d = prims_t.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
+        out = pl.pallas_call(
+            functools.partial(_trace_tile_kernel_resident, mode=mode),
+            out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=common_in_specs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*common_args, prims3d)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_trace_tile_kernel_stream, mode=mode),
+            out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=common_in_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((4, 8, SEG), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(*common_args, prims_t)
+    values = out[:n_rays, 0]
+    if mode == "hitcount":
+        values = values.astype(jnp.int32)
+    return values, overflow
