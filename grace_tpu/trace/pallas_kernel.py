@@ -198,26 +198,26 @@ def _trace_tile_kernel_resident(
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
     n = n_segs_ref[0, 0, 0]
 
-    # 2-wide unroll amortizes loop/branch overhead; the odd trailing segment
-    # is handled by a final predicated step.
-    def body(k2, acc):
-        k = k2 * 2
+    # UNROLL-wide main loop amortizes loop/branch overhead; the remainder is
+    # handled by a predicated tail loop. Duplicate trailing reads in the main
+    # loop are avoided by flooring to the unrolled count.
+    unroll = 4
+
+    def body(ku, acc):
+        k = ku * unroll
+        for u in range(unroll):
+            slab = prims_ref[segs_ref[0, 0, k + u]]
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return acc
+
+    def tail(k, acc):
         slab = prims_ref[segs_ref[0, 0, k]]
-        acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
-        slab2 = prims_ref[segs_ref[0, 0, k + 1]]
-        return _seg_compute(slab2, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
 
     acc0 = jnp.zeros((tile, 1), jnp.float32)
-    acc = jax.lax.fori_loop(0, n // 2, body, acc0)
-    acc = jax.lax.cond(
-        (n & 1) == 1,
-        lambda a: _seg_compute(
-            prims_ref[segs_ref[0, 0, jnp.maximum(n - 1, 0)]],
-            ox, oy, oz, dx, dy, dz, ln, a, mode,
-        ),
-        lambda a: a,
-        acc,
-    )
+    n_main = (n // unroll) * unroll
+    acc = jax.lax.fori_loop(0, n // unroll, body, acc0)
+    acc = jax.lax.fori_loop(n_main, n, tail, acc)
     out_ref[...] = acc
 
 
