@@ -126,6 +126,40 @@ def cubic_spline_line_integral_poly(b2, fast: bool = False):
     return jnp.where(b2 <= 0.25, f_in, jnp.where(b2 < 1.0, f_out, 0.0))
 
 
+def cubic_spline_line_integral_poly_grad(b2, fast: bool = False):
+    """dF/d(beta^2) of the fitted polynomial form — the exact derivative of
+    the interpolant used by ``cubic_spline_line_integral_poly`` (so fused
+    backward kernels match autodiff of the fused forward bit-for-bit up to
+    op ordering).
+
+    Piece 1: Clenshaw of the derivative Chebyshev series (chain rule with the
+    domain map). Piece 2: F = v^{7/2} P(v) with v = 1 - b2, so
+    dF/db2 = -(3.5 v^{5/2} P(v) + v^{7/2} P'(v)).
+    """
+    c1 = _CHEB1_SHORT if fast else _CHEB1
+    c2 = _CHEB2_SHORT if fast else _CHEB2
+    d1 = np.polynomial.chebyshev.chebder(c1)
+    d2 = np.polynomial.chebyshev.chebder(c2)
+    b2 = jnp.asarray(b2, jnp.float32)
+
+    lo1, hi1 = _CHEB1_DOM
+    scale1 = 2.0 / (hi1 - lo1)
+    t1 = jnp.clip((2.0 * b2 - (lo1 + hi1)) / (hi1 - lo1), -1.0, 1.0)
+    g_in = _clenshaw(d1, t1.astype(jnp.float32)) * jnp.float32(scale1)
+
+    v = jnp.maximum(1.0 - b2, 0.0)
+    lo2, hi2 = _CHEB2_DOM
+    scale2 = 2.0 / (hi2 - lo2)
+    t2 = jnp.clip((2.0 * v - (lo2 + hi2)) / (hi2 - lo2), -1.0, 1.0)
+    p_v = _clenshaw(c2, t2.astype(jnp.float32))
+    dp_v = _clenshaw(d2, t2.astype(jnp.float32)) * jnp.float32(scale2)
+    v2 = v * v
+    sq = jnp.sqrt(v)
+    g_out = -(3.5 * v2 * sq * p_v + v2 * v * sq * dp_v)
+
+    return jnp.where(b2 <= 0.25, g_in, jnp.where(b2 < 1.0, g_out, 0.0))
+
+
 # Dense table for the differentiable f32 path. The closed form below is exact
 # in f64 but suffers ~1e-3 cancellation error in f32 (TPU has no f64 compute),
 # so gradients/fast-path use this 2048-entry derived table + lerp: forward

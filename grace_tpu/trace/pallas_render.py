@@ -1,0 +1,301 @@
+"""Fused differentiable SPH rendering: Pallas forward + Pallas backward.
+
+The record-based autodiff path (grace_tpu.trace.render) is the correctness
+anchor but runs on the lockstep XLA engine. This module makes gradient
+rendering a first-class fast path: a ``jax.custom_vjp`` around the fused
+forward (pallas_trace_sph) whose backward is itself a Pallas kernel.
+
+Backward math (per hit pair, q2 = b2 / h^2, contrib = w F(q2) / h^2):
+    d/dw      = F(q2) / h^2
+    d/dh      = w [ F'(q2) * (-2 b2 / h^3) / h^2  -  2 F(q2) / h^3 ]
+              = -(2 w / h^3) [ F'(q2) q2 + F(q2) ]
+    d/d(pos)  = w F'(q2) / h^4 * d(b2)/d(pos),  d(b2)/d(pos) = 2 b_vec
+where b_vec = (p - o) - dot * d is the impact vector and F' is the exact
+derivative of the fitted polynomial (kernel_integrals.
+cubic_spline_line_integral_poly_grad), so backward is consistent with the
+fused forward to f32 rounding.
+
+Accumulation strategy: the backward kernel is SEGMENT-major — the grid runs
+over primitive segments and each program owns its segment's (128, 8)
+gradient block outright, streaming in the (8, 128) ray/cotangent slabs of
+every tile that overlaps it (the transpose of the forward's tile->segment
+lists, from the same dense cull matrix). Each (ray, prim) pair is therefore
+visited exactly once in each direction with no scatter at all — the
+TPU-native answer to the atomic gradient scatter a CUDA backward faces.
+(A first design accumulated into a shared VMEM array via dynamically
+indexed writes across grid steps; Mosaic executes those incorrectly on
+hardware — do not resurrect it.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grace_tpu.core.tree import Tree
+from grace_tpu.core.types import Rays
+from grace_tpu.sph.kernel_integrals import (
+    cubic_spline_line_integral_poly,
+    cubic_spline_line_integral_poly_grad,
+)
+from grace_tpu.trace.pallas_broadphase import dense_tile_segments
+from grace_tpu.trace.pallas_kernel import SEG, _pack_rays, _ray_columns
+
+
+def _pack_prims_3d(spheres: jax.Array, weights: Optional[jax.Array]):
+    """(n_segs, 8, SEG) slabs: rows x, y, z, h, w, 3 pad."""
+    n = spheres.shape[0]
+    n_pad = ((n + SEG - 1) // SEG) * SEG
+    p = jnp.pad(spheres, ((0, n_pad - n), (0, 0)))
+    w = jnp.ones((n_pad,), jnp.float32) if weights is None else jnp.pad(
+        jnp.asarray(weights, jnp.float32), ((0, n_pad - n),))
+    pt = jnp.concatenate([jnp.transpose(p), w[None, :],
+                          jnp.zeros((3, n_pad), jnp.float32)], axis=0)
+    return pt.reshape(8, n_pad // SEG, SEG).transpose(1, 0, 2), n_pad
+
+
+def _fwd_kernel(n_segs_ref, segs_ref, rays_ref, prims_ref, out_ref):
+    tile = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    n = n_segs_ref[0, 0, 0]
+
+    def body(k, acc):
+        slab = prims_ref[segs_ref[0, 0, k]]
+        px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+        ph, pw = slab[3:4, :], slab[4:5, :]
+        rx, ry, rz = px - ox, py - oy, pz - oz
+        dot = rx * dx + ry * dy + rz * dz
+        bx = rx - dot * dx
+        by = ry - dot * dy
+        bz = rz - dot * dz
+        b2 = bx * bx + by * by + bz * bz
+        h2 = ph * ph
+        hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+        inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
+        contrib = pw * cubic_spline_line_integral_poly(b2 * inv_h2, fast=True) * inv_h2
+        return acc + jnp.sum(jnp.where(hit, contrib, 0.0), axis=1, keepdims=True)
+
+    out_ref[...] = jax.lax.fori_loop(0, n, body, jnp.zeros((tile, 1), jnp.float32))
+
+
+def _bwd_kernel(
+    n_tiles_ref,   # SMEM (1, 1, 1): tiles touching this segment
+    tiles_ref,     # SMEM (1, 1, T_max): tile ids
+    prims_ref,     # VMEM (1, SEG, 8): this segment's prims, sublane-major
+    rays_hbm,      # HBM (8, R_pad): rows ox oy oz dx dy dz len g
+    grad_ref,      # VMEM out (1, SEG, 8)
+    rbuf,          # VMEM scratch (2, 8, BWD_TILE)
+    sem,           # DMA sems (2,)
+):
+    """Segment-major backward: each grid program owns one segment's gradient
+    block outright — no dynamic stores, no cross-program accumulation (which
+    Mosaic executes incorrectly for dynamically indexed VMEM writes and can
+    wedge the device). Ray/cotangent slabs stream in as lane-aligned
+    (8, 128) DMAs per touching tile."""
+    prims = prims_ref[0]                   # (SEG, 8) sublane-major
+    px = prims[:, 0:1]
+    py = prims[:, 1:2]
+    pz = prims[:, 2:3]
+    ph = prims[:, 3:4]
+    pw = prims[:, 4:5]
+    n = n_tiles_ref[0, 0, 0]
+
+    def dma(slot, k):
+        t = tiles_ref[0, 0, k]
+        return pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(t * BWD_TILE, BWD_TILE)], rbuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+    h2 = ph * ph
+    inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
+    inv_h = jnp.where(ph > 0.0, 1.0 / jnp.maximum(ph, 1e-30), 0.0)
+
+    def body(k, accs):
+        ax, ay, az, ah, aw = accs
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        dma(slot, k).wait()
+        slab = rbuf[slot]                  # (8, BWD_TILE) lanes = rays
+        ox, oy, oz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+        dx, dy, dz = slab[3:4, :], slab[4:5, :], slab[5:6, :]
+        ln, g = slab[6:7, :], slab[7:8, :]
+
+        rx, ry, rz = px - ox, py - oy, pz - oz         # (SEG, BWD_TILE)
+        dot = rx * dx + ry * dy + rz * dz
+        bx = rx - dot * dx
+        by = ry - dot * dy
+        bz = rz - dot * dz
+        b2 = bx * bx + by * by + bz * bz
+        hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+        q2 = b2 * inv_h2
+        f = cubic_spline_line_integral_poly(q2, fast=True)
+        fp = cubic_spline_line_integral_poly_grad(q2, fast=True)
+        gh = jnp.where(hit, g, 0.0)
+
+        c_pos = gh * (2.0 * pw * fp * inv_h2 * inv_h2)
+        ax = ax + jnp.sum(c_pos * bx, axis=1, keepdims=True)
+        ay = ay + jnp.sum(c_pos * by, axis=1, keepdims=True)
+        az = az + jnp.sum(c_pos * bz, axis=1, keepdims=True)
+        c_h = gh * (-2.0 * pw * inv_h2 * inv_h) * (fp * q2 + f)
+        ah = ah + jnp.sum(c_h, axis=1, keepdims=True)
+        aw = aw + jnp.sum(gh * (f * inv_h2), axis=1, keepdims=True)
+        return ax, ay, az, ah, aw
+
+    zero = jnp.zeros((prims.shape[0], 1), jnp.float32)
+    ax, ay, az, ah, aw = jax.lax.fori_loop(
+        0, n, body, (zero, zero, zero, zero, zero))
+    grad_ref[0] = jnp.concatenate(
+        [ax, ay, az, ah, aw, jnp.zeros((prims.shape[0], 3), jnp.float32)],
+        axis=1,
+    )
+
+
+BWD_TILE = 128  # lane width of a ray slab; backward always tiles rays by 128
+
+
+def _pack_rays_bwd(rays: Rays, g):
+    """f32[8, R_pad]: rows ox oy oz dx dy dz len g; padding never hits."""
+    n = rays.n_rays
+    pad = (-n) % BWD_TILE
+    o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
+    d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
+    ln = jnp.pad(rays.lengths, ((0, pad),), constant_values=-1.0)
+    gp = jnp.pad(jnp.asarray(g, jnp.float32), ((0, pad),))
+    return jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                      ln, gp], axis=0), n + pad
+
+
+def _pack_prims_sub(spheres: jax.Array, weights):
+    """(n_segs, SEG, 8) sublane-major slabs: cols x y z h w pad3."""
+    n = spheres.shape[0]
+    n_pad = ((n + SEG - 1) // SEG) * SEG
+    p = jnp.pad(spheres, ((0, n_pad - n), (0, 0)))
+    w = jnp.ones((n_pad,), jnp.float32) if weights is None else jnp.pad(
+        jnp.asarray(weights, jnp.float32), ((0, n_pad - n),))
+    full = jnp.concatenate([p, w[:, None], jnp.zeros((n_pad, 3), jnp.float32)],
+                           axis=1)
+    return full.reshape(n_pad // SEG, SEG, 8), n_pad
+
+
+def dense_segment_tiles(rays: Rays, spheres, tile: int, max_tiles: int):
+    """Transpose of the dense cull: per segment, the tiles overlapping it.
+
+    Returns (tile_ids i32[n_segs, max_tiles], n_tiles i32[n_segs], overflow).
+    """
+    from grace_tpu.trace.broadphase import tile_aabbs
+    from grace_tpu.trace.pallas_broadphase import segment_aabbs
+
+    tmin, tmax = tile_aabbs(rays, tile)
+    seg_min, seg_max = segment_aabbs(spheres)
+    overlap = jnp.all(
+        (tmin[:, None, :] <= seg_max[None, :, :])
+        & (seg_min[None, :, :] <= tmax[:, None, :]),
+        axis=-1,
+    )  # [n_tiles, n_segs]
+    counts = jnp.sum(overlap, axis=0).astype(jnp.int32)
+    order = jnp.argsort(jnp.logical_not(overlap), axis=0, stable=True)  # [n_tiles, n_segs]
+    keep = min(max_tiles, order.shape[0])
+    ids = jnp.transpose(order[:keep]).astype(jnp.int32)                 # [n_segs, keep]
+    ids = jnp.pad(ids, ((0, 0), (0, max_tiles - keep)))
+    ids = jnp.where(jnp.arange(max_tiles)[None, :] < counts[:, None], ids, 0)
+    return ids, jnp.minimum(counts, max_tiles), counts > max_tiles
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "max_chunks", "interpret")
+)
+def _fused_forward(rays, spheres, weights, tile, max_chunks, interpret):
+    seg_ids, n_segs, overflow = dense_tile_segments(rays, spheres, tile, max_chunks)
+    packed, r_pad = _pack_rays(rays, tile)
+    prims3d, _ = _pack_prims_3d(spheres, weights)
+    n_tiles = r_pad // tile
+    out = pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, seg_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(n_segs[:, None, None], seg_ids[:, None, :], packed, prims3d)
+    return out[: rays.n_rays, 0], (seg_ids, n_segs), overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_tiles", "interpret")
+)
+def _fused_backward(rays, spheres, weights, g, max_tiles, interpret):
+    rays_packed, r_pad = _pack_rays_bwd(rays, g)
+    prims_sub, n_pad = _pack_prims_sub(spheres, weights)
+    n_segs_total = n_pad // SEG
+    tile_ids, n_tiles, overflow = dense_segment_tiles(
+        rays, spheres, BWD_TILE, max_tiles)
+
+    grad = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_segs_total, SEG, 8), jnp.float32),
+        grid=(n_segs_total,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SEG, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, SEG, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, BWD_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(n_tiles[:, None, None], tile_ids[:, None, :], prims_sub, rays_packed)
+
+    flat = grad.reshape(n_pad, 8)[: spheres.shape[0]]
+    return flat[:, :4], flat[:, 4]
+
+
+
+def make_fused_renderer(tile: int = 128, max_chunks: int = 2048,
+                        max_tiles_per_seg: int = 1024,
+                        interpret: bool = False):
+    """A custom-vjp column-density renderer: fused Pallas forward AND
+    backward. Returns render(rays, spheres, weights) -> f32[R]; gradients
+    flow to spheres (positions + h) and weights."""
+
+    @jax.custom_vjp
+    def render(rays: Rays, spheres, weights):
+        img, _, _ = _fused_forward(rays, spheres, weights, tile, max_chunks, interpret)
+        return img
+
+    def fwd(rays, spheres, weights):
+        img, _, overflow = _fused_forward(
+            rays, spheres, weights, tile, max_chunks, interpret)
+        return img, (rays, spheres, weights)
+
+    def bwd(res, g):
+        rays, spheres, weights = res
+        gs, gw = _fused_backward(
+            rays, spheres, weights, g, max_tiles_per_seg, interpret)
+        zero_rays = jax.tree_util.tree_map(jnp.zeros_like, rays)
+        return (zero_rays, gs, gw)
+
+    render.defvjp(fwd, bwd)
+    return render
