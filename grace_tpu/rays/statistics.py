@@ -73,6 +73,44 @@ def beran_gine_statistics(directions) -> Dict[str, jnp.ndarray]:
     return {"An": an, "Gn": gn, "Fn": an + gn}
 
 
+def ripley_k_sphere(directions, angles) -> jnp.ndarray:
+    """Ripley's K on the sphere (ref: isotropic_ray_stats/ripleyk_stats.cu):
+    K(psi) = (mean number of other points within angular distance psi of a
+    point) normalized by the point density n / (4 pi). Under uniformity
+    K(psi) = 2 pi (1 - cos psi); returned as the empirical K per angle.
+    """
+    d = jnp.asarray(directions, jnp.float32)
+    n = d.shape[0]
+    angles = jnp.asarray(angles, jnp.float32)
+    cos_th = jnp.cos(angles)
+
+    def per_block(rows):
+        dots = jnp.clip(rows @ d.T, -1.0, 1.0)           # [B, n]
+        # counts within each angle (excluding self via the dots == 1 diag —
+        # subtract 1 per row below)
+        return jnp.sum(dots[..., None] >= cos_th[None, None, :], axis=(0, 1))
+
+    block = 256
+    pad = (-n) % block
+    dp = jnp.pad(d, ((0, pad), (0, 0)))
+    counts = jnp.sum(
+        jax.lax.map(per_block, dp.reshape(-1, block, 3)), axis=0
+    ).astype(jnp.float32)
+    # Remove self-pairs (each true row counts itself at every angle) and the
+    # padded zero-rows (dot 0 passes the threshold whenever cos psi <= 0).
+    counts = counts - n
+    if pad:
+        counts = counts - pad * n * (cos_th <= 0.0)
+    density = n / (4.0 * jnp.pi)
+    return counts / (n * density)
+
+
+def ripley_k_uniform(angles) -> jnp.ndarray:
+    """Expected K under uniformity: 2 pi (1 - cos psi)."""
+    a = jnp.asarray(angles, jnp.float32)
+    return 2.0 * jnp.pi * (1.0 - jnp.cos(a))
+
+
 def uniformity_report(directions) -> Dict[str, float]:
     stats = {"z": float(rayleigh_z(directions))}
     bg = beran_gine_statistics(directions)

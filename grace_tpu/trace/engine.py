@@ -119,8 +119,9 @@ def trace(
         hit_l = hits[:, 0]
         hit_r = hits[:, 1]
         n_push = hit_l.astype(jnp.int32) + hit_r.astype(jnp.int32)
-        # Replace the popped entry: left child goes deepest so it is
-        # processed first (near-child ordering is handled by Morton layout).
+        # Replace the popped entry; when both children hit, the right child
+        # lands on top of the stack and pops first. Traversal order does not
+        # affect any supported query (no early-out tracing).
         first = jnp.where(hit_l, kids[:, 0], kids[:, 1])
         second = kids[:, 1]
         col0 = jnp.where(at_node & (n_push >= 1), top_col, stack_size)

@@ -63,3 +63,19 @@ def test_antipodal_bimodal_detected_by_gn_not_z():
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     assert float(rayleigh_z(d)) < RAYLEIGH_Z_CRIT[0.05] * 3
     assert float(beran_gine_statistics(d)["Gn"]) > GINE_GN_CRIT[0.01]
+
+
+def test_ripley_k_matches_uniform_expectation():
+    from grace_tpu.rays.statistics import ripley_k_sphere, ripley_k_uniform
+
+    rays = uniform_random_rays(jax.random.key(5), 3000, (0, 0, 0), 1.0)
+    angles = np.array([0.3, 0.8, 1.5708, 2.4], np.float32)
+    k = np.array(ripley_k_sphere(rays.directions, angles))
+    k0 = np.array(ripley_k_uniform(angles))
+    assert np.max(np.abs(k - k0) / k0) < 0.05
+    # Clustered directions must inflate K at small angles.
+    d = np.array(rays.directions)
+    d[:, :2] *= 0.1
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    k_c = np.array(ripley_k_sphere(d, angles))
+    assert k_c[0] > 3 * k0[0]
