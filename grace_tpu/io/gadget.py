@@ -78,6 +78,50 @@ def read_gadget_gas(path: str) -> np.ndarray:
     return out
 
 
+def read_gadget_gas_shard(path: str, shard: int, n_shards: int) -> np.ndarray:
+    """Read one contiguous shard of the gas particles.
+
+    The multi-host loading path (SURVEY.md section 5: hosts load disjoint
+    particle slices over DCN, then device-put to their local chips). Shards
+    partition [0, N_gas) as evenly as possible; every host touches only its
+    slice of the positions and hsml blocks.
+    """
+    with open(path, "rb") as f:
+        raw_header = f.read(4 + 256 + 4)
+        npart = np.frombuffer(raw_header, np.int32, 6, 4)
+        mass = np.frombuffer(raw_header, np.float64, 6, 4 + 24)
+        n_gas = int(npart[0])
+        if n_gas == 0:
+            raise ValueError(f"Gadget file {path} has no gas particles")
+        n_total = int(npart.sum())
+        n_withmass = int(npart[mass == 0].sum())
+
+        lo = (n_gas * shard) // n_shards
+        hi = (n_gas * (shard + 1)) // n_shards
+        cnt = hi - lo
+
+        pos_block = 4 + 256 + 4 + 4
+        f.seek(pos_block + 12 * lo)
+        pos = np.frombuffer(f.read(12 * cnt), np.float32).reshape(cnt, 3)
+
+        hsml_block = (
+            pos_block + 12 * n_total + 4        # positions + end marker
+            + 8 + 12 * n_total                  # velocities
+            + 8 + 4 * n_total                   # ids
+            + (8 + 4 * n_withmass if n_withmass else 0)
+            + 8 + 4 * n_gas                     # u
+            + 8 + 4 * n_gas                     # rho
+            + 4                                  # hsml start marker
+        )
+        f.seek(hsml_block + 4 * lo)
+        hsml = np.frombuffer(f.read(4 * cnt), np.float32)
+
+    out = np.empty((cnt, 4), np.float32)
+    out[:, :3] = pos
+    out[:, 3] = hsml
+    return out
+
+
 def write_gadget_gas(path: str, xyzh: np.ndarray) -> None:
     """Write a gas-only format-1 snapshot (test fixture generator)."""
     xyzh = np.ascontiguousarray(xyzh, np.float32)

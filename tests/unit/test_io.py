@@ -88,3 +88,17 @@ def test_bmp_writer(tmp_path, rng):
     w = int.from_bytes(raw[18:22], "little")
     h = int.from_bytes(raw[22:26], "little")
     assert (w, h) == (23, 17)
+
+
+def test_gadget_sharded_read(tmp_path, rng):
+    from grace_tpu.io.gadget import read_gadget_gas_shard
+
+    n = 1003  # deliberately not divisible
+    xyzh = np.concatenate(
+        [rng.random((n, 3)), 0.01 + 0.1 * rng.random((n, 1))], axis=1
+    ).astype(np.float32)
+    path = str(tmp_path / "snap.gdt")
+    write_gadget_gas(path, xyzh)
+    shards = [read_gadget_gas_shard(path, s, 4) for s in range(4)]
+    back = np.concatenate(shards)
+    np.testing.assert_array_equal(back, xyzh)
