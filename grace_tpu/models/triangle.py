@@ -124,11 +124,15 @@ def render_triangles(
     light_dir=(0.3, 1.0, 0.6),
     ambient: float = 0.15,
     max_per_leaf: int = 8,
+    engine: str = "xla",
+    interpret: bool = False,
 ) -> jax.Array:
     """Lambert + hard-shadow render of a triangle mesh, returns f32[res, res].
 
     Mirrors the reference pipeline (ref: tris_render.cu:165-191): primary
     closest-hit pass, shadow any-hit pass toward the light, shaded combine.
+    ``engine='pallas'`` uses the fused streaming kernels
+    (grace_tpu.trace.pallas_tri) — the fast path on real TPU.
     """
     tris = jnp.asarray(tris, jnp.float32)
     sorted_tris, tree, _ = build_triangle_tree(tris, max_per_leaf)
@@ -137,7 +141,13 @@ def render_triangles(
         resolution, resolution, cam, look_at, (0.0, 1.0, 0.0), jnp.pi / 3, length
     )
 
-    hitrec = trace_closest_hit(rays, sorted_tris, tree)
+    if engine == "pallas":
+        from grace_tpu.trace.pallas_tri import pallas_trace_tri
+
+        t, tri_id, _ = pallas_trace_tri(rays, sorted_tris, interpret=interpret)
+        hitrec = ClosestHit(t=t, tri=tri_id)
+    else:
+        hitrec = trace_closest_hit(rays, sorted_tris, tree)
     hit_mask = jnp.isfinite(hitrec.t)
     tri_idx = jnp.clip(hitrec.tri, 0, sorted_tris.shape[0] - 1)
 
@@ -155,7 +165,13 @@ def render_triangles(
         jnp.broadcast_to(l, shadow_o.shape),
         jnp.full((rays.n_rays,), length, jnp.float32),
     )
-    occluded = trace_any_hit(shadow, sorted_tris, tree)
+    if engine == "pallas":
+        from grace_tpu.trace.pallas_tri import pallas_trace_tri
+
+        occluded, _, _ = pallas_trace_tri(
+            shadow, sorted_tris, mode="any", interpret=interpret)
+    else:
+        occluded = trace_any_hit(shadow, sorted_tris, tree)
 
     shade = ambient + jnp.where(occluded, 0.0, lambert) * (1.0 - ambient)
     img = jnp.where(hit_mask, shade, 0.0)

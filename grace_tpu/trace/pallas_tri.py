@@ -1,0 +1,192 @@
+"""Fused triangle tracing kernels: closest-hit and any-hit (occlusion).
+
+The triangle-mesh analog of pallas_kernel.py, replacing the reference's
+generic trace kernel instantiated with Moller-Trumbore functors
+(ref: tests/render_triangle/tris_trace.cuh:11-117). Same dense-cull +
+streaming structure:
+
+  * triangles stored per 128-triangle segment as component-major slabs
+    (n_segs, 16, 128): rows v0.xyz, e1.xyz, e2.xyz (the reference's
+    Triangle{v, e1, e2} layout, triangle.cuh:11-20), zero padding rows are
+    degenerate (det = 0) and can never hit;
+  * per ray tile, stream the tile's culled segments and evaluate the dense
+    (tile x 128) Moller-Trumbore test on the VPU;
+  * closest-hit tracks a running (t_min, triangle id) pair per ray; the
+    argmin rides as f32 ids (exact below 2^24), resolved per segment by an
+    equality-select against the segment minimum;
+  * any-hit ORs the per-segment hit reduction (shadow rays,
+    ref: tris_render.cu:165-191).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grace_tpu.core.types import Rays
+from grace_tpu.trace.broadphase import tile_aabbs
+from grace_tpu.trace.pallas_kernel import SEG, _pack_rays, _ray_columns
+
+EPS = 1e-7
+BIG = 1e30
+
+
+def _pack_tris(tris: jax.Array):
+    """(n_segs, 16, SEG) slabs: rows v0(3), e1(3), e2(3), 7 zero pad."""
+    n = tris.shape[0]
+    n_pad = ((n + SEG - 1) // SEG) * SEG
+    t = jnp.pad(tris, ((0, n_pad - n), (0, 0), (0, 0)))
+    v0 = t[:, 0, :]
+    e1 = t[:, 1, :] - v0
+    e2 = t[:, 2, :] - v0
+    rows = jnp.concatenate(
+        [jnp.transpose(v0), jnp.transpose(e1), jnp.transpose(e2),
+         jnp.zeros((7, n_pad), jnp.float32)], axis=0)  # (16, n_pad)
+    return rows.reshape(16, n_pad // SEG, SEG).transpose(1, 0, 2), n_pad
+
+
+def tri_segment_aabbs(tris: jax.Array):
+    n = tris.shape[0]
+    n_pad = ((n + SEG - 1) // SEG) * SEG
+    mins = jnp.min(tris, axis=1)
+    maxs = jnp.max(tris, axis=1)
+    big = jnp.finfo(jnp.float32).max
+    mins = jnp.pad(mins, ((0, n_pad - n), (0, 0)), constant_values=big)
+    maxs = jnp.pad(maxs, ((0, n_pad - n), (0, 0)), constant_values=-big)
+    return (jnp.min(mins.reshape(-1, SEG, 3), axis=1),
+            jnp.max(maxs.reshape(-1, SEG, 3), axis=1))
+
+
+def _dense_tile_segments_tri(rays: Rays, tris, tile: int, max_chunks: int):
+    tmin, tmax = tile_aabbs(rays, tile)
+    seg_min, seg_max = tri_segment_aabbs(tris)
+    overlap = jnp.all(
+        (tmin[:, None, :] <= seg_max[None, :, :])
+        & (seg_min[None, :, :] <= tmax[:, None, :]),
+        axis=-1,
+    )
+    n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
+    keep = min(max_chunks, order.shape[1])
+    seg_ids = jnp.pad(order[:, :keep].astype(jnp.int32),
+                      ((0, 0), (0, max_chunks - keep)))
+    seg_ids = jnp.where(jnp.arange(max_chunks)[None, :] < n_segs[:, None],
+                        seg_ids, 0)
+    return seg_ids, jnp.minimum(n_segs, max_chunks), n_segs > max_chunks
+
+
+def _mt_candidates(slab, ox, oy, oz, dx, dy, dz, ln):
+    """(tile, SEG) Moller-Trumbore t values (BIG where missed)."""
+    v0x, v0y, v0z = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+    e1x, e1y, e1z = slab[3:4, :], slab[4:5, :], slab[5:6, :]
+    e2x, e2y, e2z = slab[6:7, :], slab[7:8, :], slab[8:9, :]
+    # p = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > EPS, det, EPS)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = (sx * px + sy * py + sz * pz) * inv_det
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ((det > EPS) & (u >= 0.0) & (u <= 1.0)
+           & (v >= 0.0) & (u + v <= 1.0) & (t > EPS) & (t < ln))
+    return jnp.where(hit, t, BIG)
+
+
+def _tri_kernel(n_segs_ref, segs_ref, rays_ref, tris_ref, t_ref, id_ref, *, mode):
+    tile = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    n = n_segs_ref[0, 0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, SEG), 1)
+
+    def body(k, carry):
+        t_min, tri_id = carry
+        seg = segs_ref[0, 0, k]
+        tcand = _mt_candidates(tris_ref[seg], ox, oy, oz, dx, dy, dz, ln)
+        if mode == "any":
+            t_min = jnp.minimum(t_min, jnp.min(tcand, axis=1, keepdims=True))
+            return t_min, tri_id
+        seg_min = jnp.min(tcand, axis=1, keepdims=True)          # (tile, 1)
+        ids = jnp.where(tcand <= seg_min, lane, jnp.float32(BIG))
+        seg_id = jnp.min(ids, axis=1, keepdims=True) + seg.astype(jnp.float32) * SEG
+        closer = seg_min < t_min
+        t_min = jnp.where(closer, seg_min, t_min)
+        tri_id = jnp.where(closer, seg_id, tri_id)
+        return t_min, tri_id
+
+    t0 = jnp.full((tile, 1), BIG, jnp.float32)
+    i0 = jnp.full((tile, 1), -1.0, jnp.float32)
+    t_min, tri_id = jax.lax.fori_loop(0, n, body, (t0, i0))
+    t_ref[...] = t_min
+    id_ref[...] = tri_id
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "max_chunks", "mode", "interpret")
+)
+def pallas_trace_tri(
+    rays: Rays,
+    tris: jax.Array,
+    tile: int = 128,
+    max_chunks: int = 2048,
+    mode: str = "closest",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Closest-hit (mode='closest': returns t f32[R], tri i32[R] with -1 for
+    miss) or occlusion (mode='any': returns occluded bool[R] and -1s) trace
+    of a triangle mesh. Also returns the per-tile overflow flags.
+    """
+    if mode not in ("closest", "any"):
+        raise ValueError(f"unknown mode {mode!r}")
+    n_rays = rays.n_rays
+    pad = (-n_rays) % tile
+    if pad:
+        rays = Rays(
+            jnp.concatenate([rays.origins, jnp.broadcast_to(rays.origins[-1:], (pad, 3))]),
+            jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
+            jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
+        )
+    seg_ids, n_segs, overflow = _dense_tile_segments_tri(rays, tris, tile, max_chunks)
+    packed, r_pad = _pack_rays(rays, tile)
+    tris3d, _ = _pack_tris(tris)
+    n_tiles = r_pad // tile
+
+    t_out, id_out = pl.pallas_call(
+        functools.partial(_tri_kernel, mode=mode),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, seg_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(n_segs[:, None, None], seg_ids[:, None, :], packed, tris3d)
+
+    t = t_out[:n_rays, 0]
+    miss = t >= BIG
+    if mode == "any":
+        return jnp.logical_not(miss), jnp.full((n_rays,), -1, jnp.int32), overflow
+    tri = jnp.where(miss, -1, id_out[:n_rays, 0].astype(jnp.int32))
+    t = jnp.where(miss, jnp.inf, t)
+    return t, tri, overflow
