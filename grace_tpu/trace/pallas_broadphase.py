@@ -51,20 +51,9 @@ def segment_aabbs(spheres: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return seg_min, seg_max
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "max_chunks"))
-def dense_tile_segments(
-    rays: Rays,
-    spheres: jax.Array,
-    tile: int,
-    max_chunks: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-tile ascending, unique 128-aligned segment ids by dense culling.
-
-    Returns (seg_ids i32[n_tiles, max_chunks], n_segs i32[n_tiles],
-    overflow bool[n_tiles]).
-    """
-    tmin, tmax = tile_aabbs(rays, tile)
-    seg_min, seg_max = segment_aabbs(spheres)
+def cull_segments(tmin, tmax, seg_min, seg_max, max_chunks: int):
+    """Dense AABB-overlap cull + per-row compaction into ascending unique
+    segment-id lists. Shared by the SPH and triangle trace paths."""
     overlap = jnp.all(
         (tmin[:, None, :] <= seg_max[None, :, :])
         & (seg_min[None, :, :] <= tmax[:, None, :]),
@@ -80,3 +69,20 @@ def dense_tile_segments(
     )
     overflow = n_segs > max_chunks
     return seg_ids, jnp.minimum(n_segs, max_chunks), overflow
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "max_chunks"))
+def dense_tile_segments(
+    rays: Rays,
+    spheres: jax.Array,
+    tile: int,
+    max_chunks: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-tile ascending, unique 128-aligned segment ids by dense culling.
+
+    Returns (seg_ids i32[n_tiles, max_chunks], n_segs i32[n_tiles],
+    overflow bool[n_tiles]).
+    """
+    tmin, tmax = tile_aabbs(rays, tile)
+    seg_min, seg_max = segment_aabbs(spheres)
+    return cull_segments(tmin, tmax, seg_min, seg_max, max_chunks)

@@ -4,12 +4,13 @@ The performance path replacing the reference's warp-cooperative trace kernel
 (ref: include/grace/cuda/kernels/bintree_trace.cuh:52-197). Three-stage
 design:
 
-  stage 1  broadphase (grace_tpu.trace.broadphase): each coherence-sorted
-           ray tile walks the BVH once, collecting overlapped leaves.
-  stage 2  segmentation (here): leaves are mapped onto 128-primitive ALIGNED
-           segments of the Morton-sorted primitive array and deduplicated
-           per tile. Segments partition primitive space, so after dedup each
-           primitive is tested at most once per tile, and segment padding
+  stage 1+2  broadphase: per-tile lists of 128-primitive ALIGNED segments
+           of the Morton-sorted primitive array. Default is the dense cull
+           (grace_tpu.trace.pallas_broadphase — tile AABB x segment AABB as
+           one vectorized matrix); `broadphase='xla'` keeps the lockstep BVH
+           walk (grace_tpu.trace.broadphase) as the oracle. Segments
+           partition primitive space and lists are unique per tile, so each
+           primitive is tested at most once per tile; segment padding
            (h = 0) can never hit — no masks needed in the kernel.
   stage 3  THIS KERNEL: grid over ray tiles; per tile, stream its segment
            list with double-buffered HBM->VMEM DMA of (8, 128) component-

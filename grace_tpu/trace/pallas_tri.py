@@ -64,21 +64,11 @@ def tri_segment_aabbs(tris: jax.Array):
 
 
 def _dense_tile_segments_tri(rays: Rays, tris, tile: int, max_chunks: int):
+    from grace_tpu.trace.pallas_broadphase import cull_segments
+
     tmin, tmax = tile_aabbs(rays, tile)
     seg_min, seg_max = tri_segment_aabbs(tris)
-    overlap = jnp.all(
-        (tmin[:, None, :] <= seg_max[None, :, :])
-        & (seg_min[None, :, :] <= tmax[:, None, :]),
-        axis=-1,
-    )
-    n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
-    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
-    keep = min(max_chunks, order.shape[1])
-    seg_ids = jnp.pad(order[:, :keep].astype(jnp.int32),
-                      ((0, 0), (0, max_chunks - keep)))
-    seg_ids = jnp.where(jnp.arange(max_chunks)[None, :] < n_segs[:, None],
-                        seg_ids, 0)
-    return seg_ids, jnp.minimum(n_segs, max_chunks), n_segs > max_chunks
+    return cull_segments(tmin, tmax, seg_min, seg_max, max_chunks)
 
 
 def _mt_candidates(slab, ox, oy, oz, dx, dy, dz, ln):

@@ -65,3 +65,24 @@ def test_differentiable_render_matches_cumulative(rng):
     fast = np.array(trace_cumulative_sph(rays, sorted_spheres, tree))
     diff = np.array(render_column_density(rays, sorted_spheres, tree, capacity=1 << 16))
     np.testing.assert_allclose(diff, fast, rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_kernel_passes_physics_gate(rng):
+    """The fused kernel's polynomial integral must pass the same 5e-4
+    normalization gate as the table path (interpret mode)."""
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    spheres = make_spheres(
+        np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], np.float32),
+        np.array([0.2, 0.2], np.float32),
+    )
+    sorted_spheres, tree, _ = jax.jit(build_sph_tree, static_argnums=1)(spheres, 1)
+    res = 512  # the reference's resolution; MC noise fits the 5e-4 gate
+    rays = plane_parallel_random_rays(
+        jax.random.key(0), res, res, (-1.0, -1.0, -5.0), (2.0, 0, 0), (0, 2.0, 0),
+        length=20.0)
+    vals, ovf = pallas_trace_sph(rays, sorted_spheres, tree, tile=128,
+                                 max_chunks=8, interpret=True)
+    assert not bool(np.array(ovf).any())
+    total = float(jnp.sum(vals)) * (2.0 / res) ** 2
+    assert abs(total / 2.0 - 1.0) < TOL, total
