@@ -11,7 +11,6 @@ available.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

@@ -15,7 +15,7 @@ giving the same dataflow with no vendored kernels at all.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

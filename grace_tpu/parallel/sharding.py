@@ -21,8 +21,6 @@ SGD update) under jit over the mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -30,7 +28,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from grace_tpu.build.sph import build_sph_tree
 from grace_tpu.core.types import Rays
 from grace_tpu.trace.render import find_hits, integrate_hits
-from grace_tpu.trace.sph import trace_cumulative_sph
 
 
 def make_mesh(n_rays_axis: int, n_space_axis: int = 1, devices=None) -> Mesh:

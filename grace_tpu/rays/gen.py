@@ -21,8 +21,6 @@ Conventions copied from the reference:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

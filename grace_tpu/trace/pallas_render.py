@@ -30,7 +30,7 @@ hardware — do not resurrect it.)
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from grace_tpu.core.tree import Tree
 from grace_tpu.core.types import Rays
 from grace_tpu.sph.kernel_integrals import (
     cubic_spline_line_integral_poly,

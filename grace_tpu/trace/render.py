@@ -23,7 +23,7 @@ inference path; this module is the autodiff path and the correctness anchor.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

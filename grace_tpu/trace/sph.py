@@ -16,7 +16,7 @@ recompile, same contract as re-allocating).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

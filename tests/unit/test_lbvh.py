@@ -119,3 +119,32 @@ def test_tree_invariants_random_spheres(rng):
     assert (a, b) == (0, n), "root must cover all primitives"
     walk(root)
     assert len(visited) == nl - 1, "every internal node reachable exactly once"
+
+
+def test_build_with_63bit_keys_and_xor_deltas(rng):
+    """End-to-end 63-bit key path: lexicographic (hi, lo) sort + compressed
+    XOR deltas must produce a valid tree with exact hitcounts."""
+    from grace_tpu.core.types import Rays
+    from grace_tpu.trace.sph import trace_hitcounts_sph
+
+    n = 3000
+    spheres = make_spheres(rng.random((n, 3)).astype(np.float32),
+                           (0.01 + 0.03 * rng.random(n)).astype(np.float32))
+    ss, tree, perm = jax.jit(
+        build_sph_tree, static_argnums=(1, 2, 3)
+    )(spheres, 16, "xor", 63)
+    assert np.array_equal(np.sort(np.array(perm)), np.arange(n))
+
+    r = 256
+    d = rng.standard_normal((r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = (rng.random((r, 3)) * 0.2).astype(np.float32)
+    ln = np.full(r, 3.0, np.float32)
+    rays = Rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(ln))
+    counts = np.array(trace_hitcounts_sph(rays, ss, tree))
+    s = np.array(ss)
+    p = s[None, :, :3] - o[:, None, :]
+    t = (p * d[:, None, :]).sum(-1)
+    b = p - t[..., None] * d[:, None, :]
+    hit = ((b * b).sum(-1) < s[None, :, 3] ** 2) & (t >= 0) & (t < ln[:, None])
+    assert np.array_equal(counts, hit.sum(1))
