@@ -171,13 +171,16 @@ def _trace_tile_kernel_stream(
 
     def body(k, acc):
         slot = jax.lax.rem(k, nbuf)
+        dma(slot, k).wait()
+        acc = _seg_compute(pbuf[slot], ox, oy, oz, dx, dy, dz, ln, acc, mode)
 
+        # Refill THIS slot only after its contents were consumed; issuing the
+        # k+nbuf fetch before the wait would race the pending slab.
         @pl.when(k + nbuf < n)
         def _():
-            dma(jax.lax.rem(k + nbuf, nbuf), k + nbuf).start()
+            dma(slot, k + nbuf).start()
 
-        dma(slot, k).wait()
-        return _seg_compute(pbuf[slot], ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return acc
 
     acc0 = jnp.zeros((tile, 1), jnp.float32)
     out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)

@@ -63,3 +63,17 @@ def test_pallas_isotropic_rays_with_sort(rng):
     # and the inverse permutation restores original ray order
     rays_round = np.array(rays_s.origins[inv])
     np.testing.assert_allclose(rays_round, np.array(rays.origins))
+
+
+def test_streaming_variant_matches_engine(rng):
+    """Force the HBM-streaming (DMA) kernel by zeroing the VMEM-resident
+    budget; must match the engine exactly."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(4), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    got, ovf = pallas_trace_sph(
+        rays, ss, tree, tile=64, max_chunks=64, mode="hitcount",
+        interpret=True, vmem_resident_limit=0)
+    assert not bool(np.array(ovf).any())
+    ref = np.array(trace_hitcounts_sph(rays, ss, tree))
+    assert np.array_equal(np.array(got), ref)
