@@ -225,11 +225,55 @@ def _trace_tile_kernel_resident(
     out_ref[...] = acc
 
 
+def _trace_tile_kernel_subtiled(
+    n_segs_ref,     # SMEM (1, 1, S)
+    segs_ref,       # SMEM (1, S, max_chunks)
+    rays_ref,       # VMEM (S*T, 16)
+    prims_ref,      # VMEM (n_segs, 8, SEG)
+    out_ref,        # VMEM (S*T, 1)
+    *,
+    mode: str,
+    subtiles: int,
+):
+    """Subtiled resident kernel: one grid program serves S fine ray subtiles,
+    each with its own (more selective) culled segment list, interleaved in a
+    single loop body so per-iteration overhead amortizes over S compute
+    blocks. Subtile u with an exhausted list keeps computing its last
+    segment but the accumulator update is masked."""
+    s = subtiles
+    t = rays_ref.shape[0] // s
+    cols = []
+    for u in range(s):
+        sub = rays_ref[u * t:(u + 1) * t, :]
+        cols.append((sub[:, 0:1], sub[:, 1:2], sub[:, 2:3], sub[:, 3:4],
+                     sub[:, 4:5], sub[:, 5:6], sub[:, 9:10]))
+    counts = [n_segs_ref[0, 0, u] for u in range(s)]
+    n_max = counts[0]
+    for u in range(1, s):
+        n_max = jnp.maximum(n_max, counts[u])
+
+    def body(k, accs):
+        out = []
+        for u in range(s):
+            ox, oy, oz, dx, dy, dz, ln = cols[u]
+            live = k < counts[u]
+            kk = jnp.minimum(k, jnp.maximum(counts[u] - 1, 0))
+            slab = prims_ref[segs_ref[0, u, kk]]
+            new_acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln,
+                                   accs[u], mode)
+            out.append(jnp.where(live, new_acc, accs[u]))
+        return tuple(out)
+
+    acc0 = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(s))
+    accs = jax.lax.fori_loop(0, n_max, body, acc0)
+    out_ref[...] = jnp.concatenate(accs, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile", "max_chunks", "mode", "interpret", "stack_size", "broadphase",
-        "vmem_resident_limit",
+        "vmem_resident_limit", "subtiles",
     ),
 )
 def pallas_trace_sph(
@@ -243,6 +287,7 @@ def pallas_trace_sph(
     stack_size: int = 128,
     broadphase: str = "dense",
     vmem_resident_limit: int = 48 * 1024 * 1024,
+    subtiles: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Column density (mode='cumulative') or hit counts (mode='hitcount')
     per ray via broadphase + streaming Pallas kernel.
@@ -286,6 +331,38 @@ def pallas_trace_sph(
     ]
     common_args = [n_segs[:, None, None], seg_ids[:, None, :], packed]
     resident = (n_prim_pad // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if subtiles > 1:
+        if not resident:
+            raise ValueError("subtiles > 1 requires the VMEM-resident regime")
+        # Group S consecutive fine tiles per grid program.
+        s_num = subtiles
+        if n_tiles % s_num:
+            raise ValueError("ray count must fill whole subtile groups")
+        prims3d = prims_t.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
+        n_groups = n_tiles // s_num
+        out = pl.pallas_call(
+            functools.partial(
+                _trace_tile_kernel_subtiled, mode=mode, subtiles=s_num),
+            out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((1, 1, s_num), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, s_num, seg_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((s_num * tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((s_num * tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(
+            n_segs.reshape(n_groups, 1, s_num),
+            seg_ids.reshape(n_groups, s_num, seg_ids.shape[1]),
+            packed,
+            prims3d,
+        )
+        values = out[:n_rays, 0]
+        if mode == "hitcount":
+            values = values.astype(jnp.int32)
+        return values, overflow
     if resident:
         # (n_segs, 8, SEG) VMEM-resident slabs; constant index map keeps the
         # buffer live across grid steps.

@@ -77,3 +77,15 @@ def test_streaming_variant_matches_engine(rng):
     assert not bool(np.array(ovf).any())
     ref = np.array(trace_hitcounts_sph(rays, ss, tree))
     assert np.array_equal(np.array(got), ref)
+
+
+def test_subtiled_variant_matches_engine(rng):
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(6), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    got, ovf = pallas_trace_sph(
+        rays, ss, tree, tile=32, max_chunks=64, mode="hitcount",
+        interpret=True, subtiles=4)
+    assert not bool(np.array(ovf).any())
+    ref = np.array(trace_hitcounts_sph(rays, ss, tree))
+    assert np.array_equal(np.array(got), ref)
