@@ -97,6 +97,68 @@ def _fit_chebyshev_pieces():
 )
 
 
+def _fit_unified_horner(deg: int = 10):
+    """Monomial coefficients for the unified select-Horner evaluation.
+
+    Both pieces are fit as degree-``deg`` monomials in a scaled variable
+    t in [-1, 1] that is LINEAR IN u = beta^2 for either piece:
+      piece 1 (u <= 1/4):  F(u)            with t = u / 0.125 - 1
+      piece 2 (u >  1/4):  F / v^{7/2}     with t = v / 0.375 - 1, v = 1 - u
+    so a trace kernel evaluates ONE Horner recurrence with per-lane
+    coefficient selects — ~2 VPU ops per degree instead of the two full
+    Clenshaw evaluations of `cubic_spline_line_integral_poly`. Clamping
+    v to 0 makes the v^3 sqrt(v) prefactor vanish for u >= 1, so no
+    separate in-support mask is needed. Max |error| at deg 10: ~5e-5
+    (within the 5e-4 physics tolerance, ref: tests/integrate/integrate.cu).
+    """
+    u1 = np.linspace(0.0, 0.25, 3001)
+    f1 = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u1])
+    t1 = u1 / 0.125 - 1.0
+    c1 = np.polynomial.chebyshev.Chebyshev.fit(t1, f1, deg, domain=[-1, 1])
+    c1 = c1.convert(kind=np.polynomial.Polynomial).coef
+
+    u2 = np.concatenate(
+        [np.linspace(0.25, 1.0, 4001)[:-1], 1.0 - np.geomspace(1e-7, 0.05, 400)]
+    )
+    u2 = np.unique(u2)
+    f2 = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u2])
+    v2 = 1.0 - u2
+    t2 = v2 / 0.375 - 1.0
+    c2 = np.polynomial.chebyshev.Chebyshev.fit(t2, f2 / v2**3.5, deg, domain=[-1, 1])
+    c2 = c2.convert(kind=np.polynomial.Polynomial).coef
+    return np.asarray(c1, np.float64), np.asarray(c2, np.float64)
+
+
+HORNER_DEG = 10
+_HORNER_C1, _HORNER_C2 = _fit_unified_horner(HORNER_DEG)
+
+
+def cubic_spline_line_integral_horner(u):
+    """F(beta) from u = beta^2 via the unified select-Horner form.
+
+    The exact op sequence the hot Pallas kernels use (pallas_kernel.py), so
+    tests of this function cover the in-kernel math. Returns 0 for u >= 1
+    without any explicit mask (the clamped v^3 sqrt(v) prefactor vanishes).
+    """
+    # Clamp: F = 0 for u >= 1 (the prefactor vanishes at u = 1), and an
+    # unclamped u from a far-away primitive (u ~ 1e5) would overflow the
+    # Horner powers to inf, poisoning the masked select with inf * 0 = NaN.
+    u = jnp.minimum(jnp.asarray(u, jnp.float32), 1.0)
+    piece1 = u <= 0.25
+    a = jnp.where(piece1, jnp.float32(1.0 / 0.125), jnp.float32(-1.0 / 0.375))
+    b = jnp.where(piece1, jnp.float32(-1.0), jnp.float32(0.625 / 0.375))
+    t = a * u + b
+    acc = jnp.where(piece1, jnp.float32(_HORNER_C1[HORNER_DEG]),
+                    jnp.float32(_HORNER_C2[HORNER_DEG]))
+    for k in range(HORNER_DEG - 1, -1, -1):
+        ck = jnp.where(piece1, jnp.float32(_HORNER_C1[k]),
+                       jnp.float32(_HORNER_C2[k]))
+        acc = acc * t + ck
+    v = jnp.maximum(1.0 - u, 0.0)
+    pref = (v * v) * (v * jnp.sqrt(v))
+    return jnp.where(piece1, acc, acc * pref)
+
+
 def _clenshaw(coefs, t):
     b_kp1 = jnp.zeros_like(t)
     b_kp2 = jnp.zeros_like(t)

@@ -54,10 +54,14 @@ def segment_aabbs(spheres: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def cull_segments(tmin, tmax, seg_min, seg_max, max_chunks: int):
     """Dense AABB-overlap cull + per-row compaction into ascending unique
     segment-id lists. Shared by the SPH and triangle trace paths."""
-    overlap = jnp.all(
-        (tmin[:, None, :] <= seg_max[None, :, :])
-        & (seg_min[None, :, :] <= tmax[:, None, :]),
-        axis=-1,
+    # Six [n_tiles, n_segs] comparisons instead of one [n_tiles, n_segs, 3]
+    # broadcast: a trailing dim of 3 occupies 3 of 128 lanes and makes XLA
+    # materialize 42x-padded temporaries (measured 25 ms -> ~1 ms at 2048
+    # tiles x 8192 segments).
+    overlap = (
+        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
+        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
+        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
     )  # [n_tiles, n_segs]
     n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
     order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grace_tpu.core.tree import Tree
 from grace_tpu.core.types import Rays
-from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_poly
+from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner
 from grace_tpu.trace.broadphase import collect_tile_chunks
 
 DEFAULT_TILE = 512
@@ -67,12 +67,20 @@ def _pack_rays(rays: Rays, tile: int):
 
 
 def _pack_prims(spheres: jax.Array):
-    """Component-major f32[8, N_pad] with h = 0 padding (cannot hit)."""
+    """Component-major f32[8, N_pad] with h = 0 padding (cannot hit).
+
+    Rows: x, y, z, h, 1/h^2 (0 where h = 0), h^2, 0, 0. The derived rows are
+    baked here so the hot kernel never divides (inv_h2) and the hitcount
+    compare uses the identical h*h the XLA engine computes."""
     n = spheres.shape[0]
     n_pad = ((n + SEG - 1) // SEG) * SEG
     p = jnp.pad(spheres, ((0, n_pad - n), (0, 0)))
     pt = jnp.transpose(p)                      # (4, N_pad)
-    return jnp.pad(pt, ((0, 4), (0, 0))), n_pad
+    h = pt[3:4, :]
+    h2 = h * h
+    inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
+    zeros = jnp.zeros_like(h)
+    return jnp.concatenate([pt, inv_h2, h2, zeros, zeros], axis=0), n_pad
 
 
 def tile_segments(rays: Rays, tree: Tree, tile: int, max_chunks: int,
@@ -110,11 +118,18 @@ def tile_segments(rays: Rays, tree: Tree, tile: int, max_chunks: int,
 
 
 def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
-    """(tile, SEG) intersection + integral against one primitive slab."""
+    """(tile, SEG) accumulator update against one primitive slab.
+
+    The accumulator is the full (tile, SEG) matrix — the expensive cross-lane
+    reduction to (tile, 1) happens ONCE per tile after the segment loop, not
+    per slab. The integral is the unified select-Horner form
+    (kernel_integrals.cubic_spline_line_integral_horner): ~2 VPU ops per
+    polynomial degree, and its clamped v^3*sqrt(v) prefactor vanishes for
+    u >= 1 so no explicit in-support mask is needed on the cumulative path.
+    """
     px = slab[0:1, :]            # (1, SEG)
     py = slab[1:2, :]
     pz = slab[2:3, :]
-    ph = slab[3:4, :]
 
     # sphere_hit (ref: generic/intersect.h:10-55), tile rays x segment.
     rx = px - ox                 # (TILE, SEG)
@@ -125,14 +140,15 @@ def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
     by = ry - dot * dy
     bz = rz - dot * dz
     b2 = bx * bx + by * by + bz * bz
-    h2 = ph * ph
-    hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+    along = (dot >= 0.0) & (dot < ln)
 
     if mode == "cumulative":
-        inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
-        contrib = cubic_spline_line_integral_poly(b2 * inv_h2, fast=True) * inv_h2
-        return acc + jnp.sum(jnp.where(hit, contrib, 0.0), axis=1, keepdims=True)
-    return acc + jnp.sum(hit.astype(jnp.float32), axis=1, keepdims=True)
+        inv_h2 = slab[4:5, :]
+        f = cubic_spline_line_integral_horner(b2 * inv_h2)  # 0 outside support
+        return acc + jnp.where(along, f * inv_h2, 0.0)
+    h2 = slab[5:6, :]
+    hit = (b2 < h2) & along
+    return acc + hit.astype(jnp.float32)
 
 
 def _ray_columns(rays_ref):
@@ -182,8 +198,9 @@ def _trace_tile_kernel_stream(
 
         return acc
 
-    acc0 = jnp.zeros((tile, 1), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n, body, acc0)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 def _trace_tile_kernel_resident(
@@ -218,11 +235,11 @@ def _trace_tile_kernel_resident(
         slab = prims_ref[segs_ref[0, 0, k]]
         return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
 
-    acc0 = jnp.zeros((tile, 1), jnp.float32)
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
     n_main = (n // unroll) * unroll
     acc = jax.lax.fori_loop(0, n // unroll, body, acc0)
     acc = jax.lax.fori_loop(n_main, n, tail, acc)
-    out_ref[...] = acc
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 def _trace_tile_kernel_subtiled(
@@ -264,9 +281,10 @@ def _trace_tile_kernel_subtiled(
             out.append(jnp.where(live, new_acc, accs[u]))
         return tuple(out)
 
-    acc0 = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(s))
+    acc0 = tuple(jnp.zeros((t, SEG), jnp.float32) for _ in range(s))
     accs = jax.lax.fori_loop(0, n_max, body, acc0)
-    out_ref[...] = jnp.concatenate(accs, axis=0)
+    out_ref[...] = jnp.concatenate(
+        [jnp.sum(a, axis=1, keepdims=True) for a in accs], axis=0)
 
 
 @functools.partial(

@@ -59,3 +59,18 @@ def test_dense_table_monotone_decreasing():
     t = DENSE_KERNEL_INTEGRAL_TABLE
     assert np.all(np.diff(t) <= 0)
     assert t[0] > 1.9 and t[-1] == 0.0
+
+
+def test_unified_horner_matches_quadrature():
+    """The select-Horner form used by the hot Pallas kernels: <= 6e-5 abs
+    error over the support, exactly 0 outside, no NaN/inf for huge u."""
+    from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner
+
+    b = np.linspace(0.0, 1.0, 4001)
+    quad = make_kernel_integral_table(4001)
+    got = np.asarray(cubic_spline_line_integral_horner((b * b).astype(np.float32)))
+    np.testing.assert_allclose(got, quad, atol=6e-5)
+    far = np.asarray(
+        cubic_spline_line_integral_horner(np.array([1.0, 2.0, 1e6, np.inf], np.float32))
+    )
+    assert np.array_equal(far, np.zeros(4)), far
