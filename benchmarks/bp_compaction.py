@@ -1,0 +1,148 @@
+"""Microbenchmark: per-row compaction strategies for the dense broadphase.
+
+The overlap matrix [n_tiles, n_segs] must become per-row ascending unique
+segment-id lists. Strategies compared on real TPU.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def timeit(run, iters=5):
+    run()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = run()
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best * 1e3, r
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_clustered_particles
+    from grace_tpu.build.sph import build_sph_tree
+    from grace_tpu.rays.gen import plane_parallel_random_rays, spatial_sort_rays
+    from grace_tpu.trace.broadphase import tile_aabbs
+    from grace_tpu.trace.pallas_broadphase import segment_aabbs
+
+    n, n_rays, tile, mc = 1 << 20, 512 * 512, 128, 2048
+    side = int(np.sqrt(n_rays))
+    rng = np.random.default_rng(2026)
+    spheres = jnp.asarray(make_clustered_particles(rng, n))
+    sorted_spheres, tree, _ = jax.jit(lambda s: build_sph_tree(s, 32))(spheres)
+    rays = plane_parallel_random_rays(
+        jax.random.key(0), side, side, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 6.0)
+    rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
+
+    tmin, tmax = jax.jit(tile_aabbs, static_argnums=1)(rays_s, tile)
+    seg_min, seg_max = jax.jit(segment_aabbs)(sorted_spheres)
+    jax.block_until_ready((tmin, seg_min))
+
+    def overlap_mat(tmin, tmax, seg_min, seg_max):
+        return (
+            (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
+            & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
+            & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
+        )
+
+    @jax.jit
+    def just_overlap():
+        return overlap_mat(tmin, tmax, seg_min, seg_max)
+
+    S = seg_min.shape[0]
+    print("n_tiles", tmin.shape[0], "n_segs", S)
+    t, ov = timeit(lambda: jax.block_until_ready(just_overlap()))
+    print(f"overlap matrix only: {t:.2f} ms")
+
+    @jax.jit
+    def argsort_compact():
+        ov = overlap_mat(tmin, tmax, seg_min, seg_max)
+        order = jnp.argsort(jnp.logical_not(ov), axis=1, stable=True)
+        return order[:, :mc].astype(jnp.int32), jnp.sum(ov, 1)
+
+    t, _ = timeit(lambda: jax.block_until_ready(argsort_compact()))
+    print(f"argsort(bool) compaction (current): {t:.2f} ms")
+
+    @jax.jit
+    def valsort_compact():
+        ov = overlap_mat(tmin, tmax, seg_min, seg_max)
+        ids = jnp.where(ov, jnp.arange(S, dtype=jnp.int32)[None, :], jnp.int32(S))
+        return jnp.sort(ids, axis=1)[:, :mc], jnp.sum(ov, 1)
+
+    t, _ = timeit(lambda: jax.block_until_ready(valsort_compact()))
+    print(f"value-sort compaction: {t:.2f} ms")
+
+    @jax.jit
+    def scatter_compact():
+        ov = overlap_mat(tmin, tmax, seg_min, seg_max)
+        pos = jnp.cumsum(ov, axis=1, dtype=jnp.int32) - 1
+        pos = jnp.where(ov, pos, mc)  # dropped
+        out = jnp.zeros((tmin.shape[0], mc + 1), jnp.int32)
+        ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], ov.shape)
+        out = out.at[jnp.arange(tmin.shape[0])[:, None], pos].max(
+            jnp.where(ov, ids, 0), mode="drop")
+        return out[:, :mc], jnp.sum(ov, 1)
+
+    t, _ = timeit(lambda: jax.block_until_ready(scatter_compact()))
+    print(f"cumsum+scatter compaction: {t:.2f} ms")
+
+    # Coarse compaction: group G=8 fine segs, sort only coarse ids, emit
+    # per-entry fine bitmask.
+    G = 8
+    mc_c = mc // 4
+
+    @jax.jit
+    def coarse_compact():
+        ov = overlap_mat(tmin, tmax, seg_min, seg_max)  # [T, S] fine
+        ovg = ov.reshape(tmin.shape[0], S // G, G)
+        masks = jnp.sum(
+            ovg.astype(jnp.int32) * (1 << jnp.arange(G, dtype=jnp.int32)), axis=2
+        )  # [T, S/G]
+        cov = masks > 0
+        ids = jnp.where(cov, jnp.arange(S // G, dtype=jnp.int32)[None, :],
+                        jnp.int32(S // G))
+        key = (ids << 8) | jnp.where(cov, masks, 0)
+        srt = jnp.sort(key, axis=1)[:, :mc_c]
+        return srt >> 8, srt & 0xFF, jnp.sum(cov, 1)
+
+    t, (cid, cmask, ncov) = timeit(lambda: jax.block_until_ready(coarse_compact()))
+    print(f"coarse(G=8) masked compaction: {t:.2f} ms, max coarse segs "
+          f"{int(jnp.max(ncov))}")
+
+    # correctness cross-check vs argsort on a few rows
+    ids_ref, nref = jax.jit(argsort_compact)()
+    ids_v, nv = jax.jit(valsort_compact)()
+    ids_s, ns = jax.jit(scatter_compact)()
+    nref = np.asarray(jnp.minimum(nref, mc))
+    for name, got in [("valsort", ids_v), ("scatter", ids_s)]:
+        ok = True
+        for r in range(0, tmin.shape[0], 197):
+            k = int(nref[r])
+            ok &= np.array_equal(np.asarray(got)[r, :k], np.asarray(ids_ref)[r, :k])
+        print(f"{name} matches argsort: {ok}")
+    # coarse: expand and compare total covered fine ids
+    cid_n, cm_n = np.asarray(cid), np.asarray(cmask)
+    ok = True
+    for r in range(0, tmin.shape[0], 197):
+        fine = []
+        for j in range(int(np.asarray(ncov)[r])):
+            for u in range(G):
+                if cm_n[r, j] >> u & 1:
+                    fine.append(cid_n[r, j] * G + u)
+        k = int(nref[r])
+        ok &= np.array_equal(np.array(fine[:k]), np.asarray(ids_ref)[r, :k])
+    print(f"coarse expansion matches argsort: {ok}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,51 @@ HORNER_DEG = 10
 _HORNER_C1, _HORNER_C2 = _fit_unified_horner(HORNER_DEG)
 
 
+def _fit_single_horner(deg: int = 12):
+    """Monomial coefficients for the SINGLE-piece Horner evaluation.
+
+    One fit of g(u) = F / v^{7/2} (v = 1 - u, u = beta^2) over the whole
+    support u in [0, 1], in t = 2u - 1. Unlike the two-piece select-Horner
+    form this needs NO per-coefficient selects — at deg 12 that trades ~12
+    VPU select ops per evaluation for 2 extra FMAs, the difference between
+    ~50 and ~38 ops per (ray, prim) pair in the fused trace kernels. Max
+    |error| (f32 Horner) ~2.7e-4 relative: inside both the 5e-4 physics
+    tolerance (ref: tests/integrate/integrate.cu) and the 5e-4 engine-parity
+    test tolerance, and the equioscillating sign means the error nearly
+    cancels in per-ray sums.
+    """
+    u = np.concatenate(
+        [np.linspace(0.0, 1.0, 6001)[:-1], 1.0 - np.geomspace(1e-7, 0.05, 500)]
+    )
+    u = np.unique(u)
+    f = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u])
+    v = 1.0 - u
+    t = 2.0 * u - 1.0
+    c = np.polynomial.chebyshev.Chebyshev.fit(t, f / v**3.5, deg, domain=[-1, 1])
+    return np.asarray(c.convert(kind=np.polynomial.Polynomial).coef, np.float64)
+
+
+HORNER1_DEG = 12
+_HORNER1_C = _fit_single_horner(HORNER1_DEG)
+
+
+def cubic_spline_line_integral_horner1(u):
+    """F(beta) from u = beta^2 via the single-piece Horner form (deg 12).
+
+    The hot-kernel form (pallas_kernel.py): 13 FMAs + prefactor, zero
+    selects. Returns 0 for u >= 1 (clamped v^3 sqrt(v) prefactor vanishes);
+    the clamp of u at 1 keeps far-away primitives (u ~ 1e5) from overflowing
+    the polynomial powers into inf (inf * 0 = NaN would poison the masked
+    accumulate)."""
+    u = jnp.minimum(jnp.asarray(u, jnp.float32), 1.0)
+    t = 2.0 * u - 1.0
+    acc = jnp.float32(_HORNER1_C[HORNER1_DEG])
+    for k in range(HORNER1_DEG - 1, -1, -1):
+        acc = acc * t + jnp.float32(_HORNER1_C[k])
+    v = jnp.maximum(1.0 - u, 0.0)
+    return acc * ((v * v) * (v * jnp.sqrt(v)))
+
+
 def cubic_spline_line_integral_horner(u):
     """F(beta) from u = beta^2 via the unified select-Horner form.
 

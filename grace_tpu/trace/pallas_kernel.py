@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grace_tpu.core.tree import Tree
 from grace_tpu.core.types import Rays
-from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner
+from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner1
 from grace_tpu.trace.broadphase import collect_tile_chunks
 
 DEFAULT_TILE = 512
@@ -122,10 +122,11 @@ def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
 
     The accumulator is the full (tile, SEG) matrix — the expensive cross-lane
     reduction to (tile, 1) happens ONCE per tile after the segment loop, not
-    per slab. The integral is the unified select-Horner form
-    (kernel_integrals.cubic_spline_line_integral_horner): ~2 VPU ops per
-    polynomial degree, and its clamped v^3*sqrt(v) prefactor vanishes for
-    u >= 1 so no explicit in-support mask is needed on the cumulative path.
+    per slab. The integral is the single-piece Horner form
+    (kernel_integrals.cubic_spline_line_integral_horner1): one FMA per
+    polynomial degree and zero selects, and its clamped v^3*sqrt(v)
+    prefactor vanishes for u >= 1 so no explicit in-support mask is needed
+    on the cumulative path.
     """
     px = slab[0:1, :]            # (1, SEG)
     py = slab[1:2, :]
@@ -144,7 +145,7 @@ def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
 
     if mode == "cumulative":
         inv_h2 = slab[4:5, :]
-        f = cubic_spline_line_integral_horner(b2 * inv_h2)  # 0 outside support
+        f = cubic_spline_line_integral_horner1(b2 * inv_h2)  # 0 outside support
         return acc + jnp.where(along, f * inv_h2, 0.0)
     h2 = slab[5:6, :]
     hit = (b2 < h2) & along
