@@ -60,7 +60,7 @@ def main():
 
     def run():
         img, ovf = pallas_trace_sph(
-            rays_s, sorted_spheres, tree, tile=128, max_chunks=2048
+            rays_s, sorted_spheres, tree, tile=64, max_chunks=2048
         )
         return jnp.sum(img), ovf
 
