@@ -75,6 +75,47 @@ def cull_segments(tmin, tmax, seg_min, seg_max, max_chunks: int):
     return seg_ids, jnp.minimum(n_segs, max_chunks), overflow
 
 
+def pack_overlap_bits(overlap: jax.Array) -> jax.Array:
+    """Pack a bool [n_tiles, n_segs] overlap matrix into i32 bitmask words
+    [n_tiles, n_segs/32] (bit s of word w = segment w*32+s).
+
+    The bitmask is the argsort-free broadphase product: per-row compaction
+    (a stable argsort over n_segs columns, measured 46 ms at 4096x8192 —
+    half the r1 frame) is replaced by this O(n) pack, and the trace kernel
+    iterates set bits directly (while word != 0: seg = ctz(word)), skipping
+    empty words at ~4 scalar ops each. Memory: n_tiles * n_segs / 8 bytes
+    (4 MB at the bench shape) instead of n_tiles * max_chunks i32 lists.
+    """
+    n_tiles, n_segs = overlap.shape
+    pad = (-n_segs) % 32
+    if pad:
+        overlap = jnp.pad(overlap, ((0, 0), (0, pad)))
+    b = overlap.reshape(n_tiles, -1, 32).astype(jnp.uint32)
+    words = jnp.sum(b << jnp.arange(32, dtype=jnp.uint32), axis=2, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def dense_tile_masks(
+    rays: Rays,
+    spheres: jax.Array,
+    tile: int,
+) -> jax.Array:
+    """Bitmask broadphase: i32[n_tiles, ceil(n_segs/32)] overlap words.
+
+    Same dense AABB test as ``dense_tile_segments`` but without the per-row
+    compaction sort; cannot overflow (every overlapped segment is always
+    representable)."""
+    tmin, tmax = tile_aabbs(rays, tile)
+    seg_min, seg_max = segment_aabbs(spheres)
+    overlap = (
+        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
+        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
+        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
+    )
+    return pack_overlap_bits(overlap)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "max_chunks"))
 def dense_tile_segments(
     rays: Rays,

@@ -244,6 +244,87 @@ def _trace_tile_kernel_resident(
     out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
+_CTZ_MASKS = tuple(
+    int(np.int32(np.uint32(m)))
+    for m in (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00, 0xFFFF0000)
+)
+
+
+def _ctz_i32(word):
+    """Count trailing zeros of a nonzero i32 scalar, using only integer ops
+    Mosaic lowers on the scalar core (no bitcasts/clz): isolate the lowest
+    set bit (word & -word, an exact power of two) and read its position as
+    5 mask tests — bit k of the answer is set iff the power of two survives
+    the k-th alternating mask."""
+    low = word & (-word)
+    s = jnp.int32(0)
+    for k, m in enumerate(_CTZ_MASKS):
+        s = s | (((low & jnp.int32(m)) != 0).astype(jnp.int32) << k)
+    return s
+
+
+def _trace_tile_kernel_bitmask(
+    mask_ref,       # SMEM (1, 1, n_words) i32 — bit s of word w = segment w*32+s
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs, 8, SEG) — whole particle set resident
+    out_ref,        # VMEM (TILE, 1)
+    seg_list,       # SMEM scratch (n_words*32,) i32
+    *,
+    mode: str,
+    unroll: int,
+):
+    """Bitmask-driven resident kernel, two phases per tile:
+
+    1. scalar phase: decode the tile's overlap words into a segment-id list
+       in SMEM scratch (while word != 0: seg = ctz; word &= word-1) — the
+       compaction the r1 design did as a 46 ms XLA argsort now costs ~3k
+       scalar ops inside the kernel, and can never overflow (the scratch
+       holds every segment id).
+    2. vector phase: the unrolled resident loop over the list (identical to
+       _trace_tile_kernel_resident) — unlike a fused while-over-bits loop,
+       this keeps the vector pipeline free of the serial scalar dependency
+       chain (measured 2x faster than the fused form).
+    """
+    tile = rays_ref.shape[0]
+    n_words = mask_ref.shape[2]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+
+    def word_body(w, n):
+        word0 = mask_ref[0, 0, w]
+
+        def emit(state):
+            # Branch-free bit-serial extraction, statically unrolled: write
+            # the candidate seg id unconditionally, advance the cursor only
+            # when the bit is set (unset bits just overwrite the same slot).
+            # ~5 independent scalar ops per bit pipelines far better than a
+            # ctz/while chain (measured ~30 serial cycles per set bit).
+            word, n = state
+            for s in range(32):
+                seg_list[n] = w * 32 + s
+                n = n + ((word >> s) & 1)
+            return n
+
+        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
+
+    n = jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
+
+    def body(ku, acc):
+        k = ku * unroll
+        for u in range(unroll):
+            slab = prims_ref[seg_list[k + u]]
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return acc
+
+    def tail(k, acc):
+        slab = prims_ref[seg_list[k]]
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // unroll, body, acc0)
+    acc = jax.lax.fori_loop((n // unroll) * unroll, n, tail, acc)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+
 def _trace_tile_kernel_subtiled(
     n_segs_ref,     # SMEM (1, 1, S)
     segs_ref,       # SMEM (1, S, max_chunks)
@@ -331,7 +412,40 @@ def pallas_trace_sph(
             jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
             jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
         )
-    if broadphase in ("dense", "pallas"):
+    packed_bm, r_pad_bm = _pack_rays(rays, tile)
+    prims_bm, n_prim_pad_bm = _pack_prims(spheres)
+    resident_bm = (n_prim_pad_bm // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if broadphase == "bitmask" or (broadphase == "dense" and resident_bm
+                                   and subtiles == 1):
+        # Default fast path: bitmask broadphase (no compaction sort, no
+        # overflow) + set-bit-iterating resident kernel.
+        from grace_tpu.trace.pallas_broadphase import dense_tile_masks
+
+        if not resident_bm:
+            raise ValueError("bitmask broadphase requires the VMEM-resident regime")
+        masks = dense_tile_masks(rays, spheres, tile)
+        n_tiles = r_pad_bm // tile
+        prims3d = prims_bm.reshape(8, n_prim_pad_bm // SEG, SEG).transpose(1, 0, 2)
+        out = pl.pallas_call(
+            functools.partial(_trace_tile_kernel_bitmask, mode=mode,
+                              unroll=unroll),
+            out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
+            interpret=interpret,
+        )(masks[:, None, :], packed_bm, prims3d)
+        values = out[:n_rays, 0]
+        if mode == "hitcount":
+            values = values.astype(jnp.int32)
+        return values, jnp.zeros((n_tiles,), jnp.bool_)
+    if broadphase in ("dense", "pallas", "list"):
         from grace_tpu.trace.pallas_broadphase import dense_tile_segments
 
         seg_ids, n_segs, overflow = dense_tile_segments(

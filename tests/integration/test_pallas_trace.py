@@ -79,6 +79,26 @@ def test_streaming_variant_matches_engine(rng):
     assert np.array_equal(np.array(got), ref)
 
 
+def test_bitmask_variant_matches_engine(rng):
+    """The bitmask broadphase + set-bit kernel (the default resident route)
+    must match the engine exactly on hitcounts and to tolerance on
+    integrals, with no overflow possible."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(7), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    got, ovf = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="hitcount", interpret=True,
+        broadphase="bitmask")
+    assert not bool(np.array(ovf).any())
+    ref = np.array(trace_hitcounts_sph(rays, ss, tree))
+    assert np.array_equal(np.array(got), ref)
+    got2, _ = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="cumulative", interpret=True,
+        broadphase="bitmask")
+    ref2 = np.array(trace_cumulative_sph(rays, ss, tree))
+    np.testing.assert_allclose(np.array(got2), ref2, rtol=5e-4, atol=1e-2)
+
+
 def test_subtiled_variant_matches_engine(rng):
     ss, tree, _ = setup(rng)
     rays = plane_parallel_random_rays(
