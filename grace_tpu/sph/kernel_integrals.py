@@ -328,3 +328,81 @@ def cubic_spline_line_integral(beta):
         + (g_outer(z1) - g_outer(zs))
     )
     return jnp.where(beta < 1.0, val, jnp.zeros_like(val))
+
+
+SPLAT_RANK = 5
+SPLAT_DEG = 10
+
+
+def fit_splat_basis(rank: int = SPLAT_RANK, deg: int = SPLAT_DEG, n: int = 1024):
+    """Separable low-rank basis for the MXU splatting renderer.
+
+    For parallel-projection rendering the per-pixel kernel footprint
+    G(x, y) = F(sqrt(x^2 + y^2)) (x, y = pixel offsets / h) factorizes as
+
+        G(x, y) ~= sum_k  a_k(t_x) * b_k(t_y),   t = clamp(x^2, 0, 1)
+        a_k(t) = (1 - t) * sign(l_k) sqrt(|l_k|) q_k(t)
+        b_k(t) = (1 - t) *           sqrt(|l_k|) q_k(t)
+
+    where (l_k, q_k) come from the eigendecomposition of the symmetric
+    kernel matrix Q(t_x, t_y) = G / ((1-t_x)(1-t_y)) (signed eigenvalues —
+    an SVD would silently flip the negative-eigenvalue terms) and q_k is a
+    degree-``deg`` polynomial fit of the k-th eigenvector, weighted by
+    (1 - t) so fit error is minimized where it actually enters the product.
+
+    The explicit (1 - t) factor (with t clamped to [0, 1]) makes every
+    basis function EXACTLY zero for |x| >= 1: pixels outside a particle's
+    support contribute exactly 0, so far-away pairs inside a pixel tile
+    cannot bias the accumulated image no matter how many there are.
+
+    Measured max |model - F| at (5, 10): ~2e-4 absolute = ~1.0e-4 relative
+    to F(0) — inside the 5e-4 physics tolerance
+    (ref: tests/integrate/integrate.cu:53).
+
+    Returns (a_coeffs, b_coeffs), each float64 [rank, deg + 1], monomial
+    coefficients in t for Horner evaluation.
+    """
+    x = np.linspace(-1.0, 1.0, n + 1)[:-1] + 1.0 / (n + 1)
+    t = x * x
+    # F via the dense derived table (error ~1e-6, far below the fit target).
+    beta2 = t[:, None] + t[None, :]
+    beta = np.sqrt(beta2)
+    xi = np.clip(beta, 0.0, 1.0) * (N_DENSE - 1)
+    i0 = np.minimum(xi.astype(int), N_DENSE - 2)
+    fr = xi - i0
+    G = np.where(
+        beta2 >= 1.0,
+        0.0,
+        DENSE_KERNEL_INTEGRAL_TABLE[i0] * (1.0 - fr)
+        + DENSE_KERNEL_INTEGRAL_TABLE[i0 + 1] * fr,
+    )
+    m = 1.0 - t
+    Q = G / (m[:, None] * m[None, :])
+    lam, V = np.linalg.eigh(Q)
+    order = np.argsort(-np.abs(lam))
+    lam, V = lam[order[:rank]], V[:, order[:rank]]
+    a = np.zeros((rank, deg + 1))
+    b = np.zeros((rank, deg + 1))
+    for k in range(rank):
+        c = np.polynomial.chebyshev.Chebyshev.fit(t, V[:, k], deg, w=m)
+        q = c.convert(kind=np.polynomial.Polynomial).coef
+        q = np.pad(q, (0, deg + 1 - q.size))
+        root = np.sqrt(np.abs(lam[k]))
+        a[k] = q * root * np.sign(lam[k])
+        b[k] = q * root
+    return a, b
+
+
+SPLAT_A_COEFFS, SPLAT_B_COEFFS = fit_splat_basis()
+
+
+def splat_basis_reference(x, y):
+    """Reference (numpy f64) evaluation of the fitted separable model at
+    pixel offsets (x, y) — for tests bounding |model - F|."""
+    def side(coeffs, t):
+        t = np.clip(np.asarray(t, np.float64) ** 2, 0.0, 1.0)
+        vals = [np.polynomial.polynomial.polyval(t, c) * (1.0 - t)
+                for c in coeffs]
+        return np.stack(vals, axis=-1)
+
+    return np.sum(side(SPLAT_A_COEFFS, x) * side(SPLAT_B_COEFFS, y), axis=-1)

@@ -1,0 +1,371 @@
+"""MXU splatting renderer: SPH column density as matmuls.
+
+The TPU-first answer to the flagship workload (parallel-projection column
+density of an SPH snapshot — the reference's project_gadget / integrate
+use case, ref: tests/project_gadget/project_gadget.cu:27-115). Instead of
+tracing each pixel's ray through a BVH (VPU-bound pair tests, ~50x
+redundancy — see pallas_kernel.py), exploit the structure of a parallel
+ray grid: the image is a sum of separable per-particle footprints,
+
+    I[j, i] = sum_p  w_p/h_p^2 * F(sqrt(xhat^2 + yhat^2)),
+    xhat = (X_i - pu_p)/h_p,   yhat = (Y_j - pv_p)/h_p
+
+and with the rank-K separable basis F(sqrt(x^2+y^2)) ~= sum_k a_k(x) b_k(y)
+(kernel_integrals.fit_splat_basis, max err ~1e-4 relative), each pixel tile
+becomes K MXU contractions over the particle chunk
+
+    I_tile = sum_k A_k @ B_k^T,  A_k[j, p] = a_k(yhat),  B_k[i, p] = b_k(xhat) * w_p
+
+with the VPU only building the thin A/B factors — O((tile_w + tile_h) * P)
+work per chunk instead of the O(tile_w * tile_h * P) per-pair tests of the
+general trace kernel. Semantics match the general cumulative trace exactly
+for a parallel ray bundle: the reference's along-ray acceptance (foot of
+perpendicular in [0, len), sphere_hit in generic/intersect.h:26-54)
+reduces to a per-particle depth predicate, applied here as a weight mask.
+
+Pipeline:
+  1. ``bucket_prims_ortho`` (XLA prep, per scene+camera): project particles
+     to the image plane, expand to (up to 2x2) overlapped pixel tiles,
+     sort instances by tile, lay them out chunk-aligned as component-major
+     (n_chunks, 8, P) slabs (rows pu, pv, invh, scale).
+  2. ``splat_image`` (Pallas): grid over pixel tiles; stream the tile's
+     contiguous chunk range HBM->VMEM (double-buffered), build the A/B
+     factors on the VPU, accumulate the rank-K contractions on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grace_tpu.ops.vecmath import cross, normalize3
+from grace_tpu.sph.kernel_integrals import (
+    SPLAT_A_COEFFS,
+    SPLAT_B_COEFFS,
+    SPLAT_DEG,
+    SPLAT_RANK,
+)
+
+
+class SplatBuckets(NamedTuple):
+    slabs: jax.Array      # f32[n_slabs_cap, 8, P]: rows 0-3 (4-7) = pu, pv,
+    #                       invh, scale of instance chunk 2s (2s+1)
+    slab_lo: jax.Array    # i32[n_tiles] first slab overlapping each tile's range
+    n_slabs: jax.Array    # i32[n_tiles]
+    first: jax.Array      # i32[n_tiles] global instance range [first, last)
+    last: jax.Array       # i32[n_tiles]
+    xcols: jax.Array      # f32[W, 1] pixel-center coordinate along the right axis
+    yrows: jax.Array      # f32[H, 1] pixel-center coordinate along the up axis
+    overflow: jax.Array   # bool[] — some particle footprint exceeded a tile span
+
+
+def _camera_frame(camera_position, look_at, view_up):
+    view_dir = normalize3(jnp.asarray(look_at, jnp.float32)
+                          - jnp.asarray(camera_position, jnp.float32))
+    v = normalize3(cross(view_dir, jnp.asarray(view_up, jnp.float32)))
+    u = normalize3(cross(v, view_dir))
+    return view_dir, v, u
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution_x", "resolution_y", "tile_w", "tile_h", "chunk"),
+)
+def bucket_prims_ortho(
+    spheres: jax.Array,
+    camera_position,
+    look_at,
+    view_up,
+    vertical_extent: float,
+    length: float,
+    resolution_x: int,
+    resolution_y: int,
+    tile_w: int = 64,
+    tile_h: int = 128,
+    chunk: int = 512,
+    weights: jax.Array | None = None,
+) -> SplatBuckets:
+    """Per-(scene, camera) prep: project, cull by depth, bucket by pixel
+    tile. Camera conventions match rays.gen.orthographic_projection_rays
+    exactly (pixel (j, i) = ray j*W + i; ref: kernels/gen_rays.cuh:666-725).
+
+    tile_w: image ROWS per tile (output sublanes), tile_h: image COLUMNS
+    per tile (output lanes). Footprints are expanded to at most a 2x2 tile
+    neighborhood; a particle with 2h exceeding a tile span sets the
+    overflow flag (render with larger tiles or trace such scenes with the
+    general kernel).
+    """
+    w_res, h_res = resolution_x, resolution_y
+    if w_res % tile_h or h_res % tile_w:
+        raise ValueError("resolution must be a multiple of the tile shape")
+    n = spheres.shape[0]
+    view_dir, v, u = _camera_frame(camera_position, look_at, view_up)
+    cam = jnp.asarray(camera_position, jnp.float32)
+    aspect = w_res / h_res
+    half_w = 0.5 * vertical_extent * aspect
+    half_h = 0.5 * vertical_extent
+
+    pos = spheres[:, :3]
+    h = spheres[:, 3]
+    pu = pos @ v                                  # image x (columns)
+    pv = pos @ u                                  # image y (rows)
+    depth = (pos - cam) @ view_dir
+
+    # Pixel-center coordinates in the image plane (top-left pixel first).
+    cu = cam @ v
+    cv = cam @ u
+    i = jnp.arange(w_res, dtype=jnp.float32)
+    j = jnp.arange(h_res, dtype=jnp.float32)
+    xcols = cu + (2.0 * (i + 0.5) / w_res - 1.0) * half_w       # ascending
+    yrows = cv + (1.0 - 2.0 * (j + 0.5) / h_res) * half_h       # descending
+    dx = 2.0 * half_w / w_res
+    dyr = -2.0 * half_h / h_res
+
+    inv_h2 = jnp.where(h > 0, 1.0 / jnp.maximum(h * h, 1e-30), 0.0)
+    w_p = inv_h2 if weights is None else weights * inv_h2
+    # Reference along-ray acceptance for a parallel bundle: the foot of the
+    # perpendicular is at the particle depth, same for every ray.
+    live = (h > 0) & (depth >= 0.0) & (depth < length)
+    scale = jnp.where(live, w_p, 0.0)
+
+    # Tile span of each footprint (clamped to a 2x2 neighborhood; flag if
+    # a footprint needs more).
+    ntx = w_res // tile_h
+    nty = h_res // tile_w
+    ct_lo = jnp.floor((pu - h - (xcols[0] - 0.5 * dx)) / (dx * tile_h)).astype(jnp.int32)
+    ct_hi = jnp.floor((pu + h - (xcols[0] - 0.5 * dx)) / (dx * tile_h)).astype(jnp.int32)
+    # yrows descend: row index grows as the coordinate falls.
+    rt_lo = jnp.floor(((pv + h) - (yrows[0] - 0.5 * dyr)) / (dyr * tile_w)).astype(jnp.int32)
+    rt_hi = jnp.floor(((pv - h) - (yrows[0] - 0.5 * dyr)) / (dyr * tile_w)).astype(jnp.int32)
+    overflow = jnp.any(live & ((ct_hi - ct_lo > 1) | (rt_hi - rt_lo > 1)))
+    ct_hi = jnp.minimum(ct_hi, ct_lo + 1)
+    rt_hi = jnp.minimum(rt_hi, rt_lo + 1)
+
+    # 4 instances per particle: the (up to) 2x2 touched tiles; duplicates /
+    # out-of-image / dead particles get the sentinel tile and sort to the end.
+    n_tiles = ntx * nty
+    insts = []
+    for rr in range(2):
+        for cc in range(2):
+            ct = ct_lo + cc
+            rt = rt_lo + rr
+            ok = (
+                (ct <= ct_hi) & (rt <= rt_hi)
+                & (ct >= 0) & (ct < ntx) & (rt >= 0) & (rt < nty)
+                & (scale > 0)
+            )
+            insts.append(jnp.where(ok, rt * ntx + ct, n_tiles))
+    tile_ids = jnp.concatenate(insts)                       # [4n]
+    invh = jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-30), 0.0)
+
+    # One multi-payload sort carries the projected components with the keys
+    # (XLA gathers cost ~15 ns/element on TPU — carrying payloads through
+    # lax.sort is several times cheaper than sort-indices-then-gather, and
+    # a vectorized searchsorted over millions of queries is worse still).
+    tiled = lambda a: jnp.tile(a, 4)
+    key_s, pu_s, pv_s, invh_s, scale_s = jax.lax.sort(
+        (tile_ids, tiled(pu), tiled(pv), tiled(invh), tiled(scale)),
+        num_keys=1,
+    )
+
+    # Per-tile instance ranges [first, last) by a broadcast count reduction
+    # (the kernel masks by GLOBAL instance index, so no chunk-alignment
+    # padding / compaction pass is needed at all: a tile's first and last
+    # slabs may share instances with its neighbors, and the mask zeroes the
+    # foreign ones).
+    first = jnp.sum(key_s[None, :] < jnp.arange(n_tiles + 1)[:, None],
+                    axis=1).astype(jnp.int32)
+    last = first[1:]
+    first = first[:-1]
+
+    # Pack two `chunk`-sized pieces per (8, chunk) slab: rows 0-3 = chunk 2s
+    # (pu, pv, invh, scale), rows 4-7 = chunk 2s+1.
+    per_slab = 2 * chunk
+    cap = ((4 * n + per_slab - 1) // per_slab) * per_slab
+    pad = cap - 4 * n
+    comp = [jnp.pad(a, (0, pad)).reshape(-1, chunk)
+            for a in (pu_s, pv_s, invh_s, scale_s)]
+    slabs = jnp.stack(comp, axis=1).reshape(-1, 8, chunk)
+    slab_lo = first // per_slab
+    n_slabs = (last + per_slab - 1) // per_slab - slab_lo
+    n_slabs = jnp.maximum(n_slabs, 0)
+    return SplatBuckets(
+        slabs, slab_lo, n_slabs, first, last,
+        xcols[:, None], yrows[:, None], overflow,
+    )
+
+
+def _factor(t, coeffs, deg):
+    """[rank] blocks of (1 - t) * q_k(t), shaped like t."""
+    m = 1.0 - t
+    out = []
+    for k in range(coeffs.shape[0]):
+        acc = jnp.full_like(t, jnp.float32(coeffs[k, deg]))
+        for d in range(deg - 1, -1, -1):
+            acc = acc * t + jnp.float32(coeffs[k, d])
+        out.append(acc * m)
+    return out
+
+
+def _splat_kernel(
+    meta_ref,     # SMEM (1, 1, 4) i32: [slab_lo, n_slabs, first, last]
+    x_ref,        # VMEM (TH, 1) pixel x coords of this tile's columns
+    y_ref,        # VMEM (TW, 1) pixel y coords of this tile's rows
+    slab_hbm,     # HBM (cap_slabs, 8, P) — 2 instance chunks per slab
+    out_ref,      # VMEM (TW, TH)
+    buf,          # VMEM scratch (NBUF, 8, P)
+    sem,
+    *,
+    rank: int,
+    deg: int,
+    a_coeffs: np.ndarray,
+    b_coeffs: np.ndarray,
+    matmul_dtype,
+):
+    nbuf = buf.shape[0]
+    slab_lo = meta_ref[0, 0, 0]
+    n = meta_ref[0, 0, 1]
+    first = meta_ref[0, 0, 2]
+    last = meta_ref[0, 0, 3]
+    chunk = buf.shape[2]
+    xs = x_ref[...]            # (TH, 1)
+    ys = y_ref[...]            # (TW, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    dn = (((1,), (1,)), ((), ()))   # contract the P dim of both factors
+
+    def dma(slot, s):
+        return pltpu.make_async_copy(
+            slab_hbm.at[slab_lo + s], buf.at[slot], sem.at[slot])
+
+    for w in range(nbuf):
+        @pl.when(w < n)
+        def _(w=w):
+            dma(w, w).start()
+
+    def body(s, acc):
+        slot = jax.lax.rem(s, nbuf)
+        dma(slot, s).wait()
+        blk = buf[slot]                       # (8, P): chunks 2s (rows 0-3), 2s+1
+
+        @pl.when(s + nbuf < n)
+        def _():
+            dma(slot, s + nbuf).start()
+
+        for half in range(2):
+            pu = blk[4 * half + 0:4 * half + 1, :]
+            pv = blk[4 * half + 1:4 * half + 2, :]
+            invh = blk[4 * half + 2:4 * half + 3, :]
+            scl = blk[4 * half + 3:4 * half + 4, :]
+            # A tile's slab range is not instance-aligned: its first/last
+            # slab can carry neighbor tiles' instances. Mask by the global
+            # instance index (this replaces any chunk-alignment padding in
+            # the bucket layout).
+            gidx = ((slab_lo + s) * 2 + half) * chunk + lane
+            scl = scl * ((gidx >= first) & (gidx < last)).astype(jnp.float32)
+
+            ya = (ys - pv) * invh                 # (TW, P)
+            a_f = _factor(jnp.minimum(ya * ya, 1.0), a_coeffs, deg)
+            xb = (xs - pu) * invh                 # (TH, P)
+            b_f = _factor(jnp.minimum(xb * xb, 1.0), b_coeffs, deg)
+
+            for k_r in range(rank):
+                acc = acc + jax.lax.dot_general(
+                    a_f[k_r].astype(matmul_dtype),
+                    (b_f[k_r] * scl).astype(matmul_dtype),
+                    dn,
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_w", "tile_h", "interpret", "matmul_dtype", "nbuf"),
+)
+def splat_image(
+    buckets: SplatBuckets,
+    tile_w: int = 64,
+    tile_h: int = 128,
+    interpret: bool = False,
+    matmul_dtype=jnp.float32,
+    nbuf: int = 4,
+) -> jax.Array:
+    """Render the bucketed scene: f32 image [H, W] (row 0 = top)."""
+    w_res = buckets.xcols.shape[0]
+    h_res = buckets.yrows.shape[0]
+    ntx = w_res // tile_h
+    nty = h_res // tile_w
+    chunk = buckets.slabs.shape[2]
+    meta = jnp.stack(
+        [buckets.slab_lo, buckets.n_slabs, buckets.first, buckets.last], axis=1)
+    meta = meta.reshape(ntx * nty, 1, 4)
+
+    kernel = functools.partial(
+        _splat_kernel,
+        rank=SPLAT_RANK,
+        deg=SPLAT_DEG,
+        a_coeffs=np.asarray(SPLAT_A_COEFFS, np.float32),
+        b_coeffs=np.asarray(SPLAT_B_COEFFS, np.float32),
+        matmul_dtype=matmul_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h_res, w_res), jnp.float32),
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda j, i, ntx=ntx: (j * ntx + i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_h, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_w, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((tile_w, tile_h), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=interpret,
+    )(meta, buckets.xcols, buckets.yrows, buckets.slabs)
+
+
+def render_ortho_splat(
+    spheres: jax.Array,
+    camera_position,
+    look_at,
+    view_up,
+    vertical_extent: float,
+    length: float,
+    resolution_x: int,
+    resolution_y: int,
+    weights: jax.Array | None = None,
+    tile_w: int = 64,
+    tile_h: int = 128,
+    chunk: int = 512,
+    interpret: bool = False,
+    matmul_dtype=jnp.float32,
+):
+    """One-call orthographic column-density render.
+
+    Returns (image f32[H, W], overflow bool[]). image[j, i] equals (to the
+    basis-fit tolerance, ~1e-4 relative) trace_cumulative_sph over
+    orthographic_projection_rays with identical camera parameters, ray
+    index j * W + i.
+    """
+    buckets = bucket_prims_ortho(
+        spheres, camera_position, look_at, view_up, vertical_extent, length,
+        resolution_x, resolution_y, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+        weights=weights,
+    )
+    img = splat_image(buckets, tile_w=tile_w, tile_h=tile_h,
+                      interpret=interpret, matmul_dtype=matmul_dtype)
+    return img, buckets.overflow
