@@ -1,0 +1,276 @@
+"""Fused per-hit record emission as a single-pass Pallas TPU kernel.
+
+The reference's full per-hit trace (ref: include/grace/cuda/trace_sph.cuh:
+111-168) is a GPU-speed two-pass pipeline: hitcount -> exclusive scan ->
+allocate -> re-traverse scattering (index, integral, distance) at a per-ray
+cursor. A per-lane scatter cursor is exactly what a TPU lacks (and dynamic
+VMEM stores are broken on this hardware — see CLAUDE.md), so this module
+re-designs record emission around what the VPU does have:
+
+  * records live in a per-ray FIXED-CAPACITY row: out[(ray, c)] for
+    c < per_ray_capacity — the segment layout the reference builds with
+    offsets materializes here as a rectangular matrix, and the downstream
+    ``sort_by_distance`` becomes a *batched lane-axis sort* (one lax.sort
+    along axis=1) instead of a global segmented sort.
+  * the kernel emits hits with a branch-free "extract first set lane"
+    loop: per primitive slab, the (tile, 128) hit mask is drained one hit
+    per iteration — cross-lane min finds the first hit lane, a one-hot
+    select reads its payload, and a second one-hot select APPENDS it at the
+    per-ray cursor column of the record rows held in registers/VMEM. No
+    dynamic stores anywhere; every op is a full-shape vector op. Cost is
+    proportional to max-hits-per-slab over the tile's rays, which ray
+    coherence (spatial ray sort) keeps near the mean.
+  * ONE pass total: the cursor doubles as the hitcount, so the reference's
+    separate hitcount pass + scan disappear. Per-ray overflow (count >
+    capacity) drops writes but keeps counting — counts are always exact.
+
+Broadphase: same bitmask cull as the fast cumulative kernel
+(pallas_broadphase.dense_tile_masks) with the set-bit -> SMEM seg-list
+decode; requires the VMEM-resident primitive regime (~3M particles).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grace_tpu.core.types import Rays
+from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner1
+from grace_tpu.trace.pallas_kernel import SEG, _pack_prims, _pack_rays, _ray_columns
+
+INDEX_SENTINEL = -1
+VALUE_SENTINEL = 0.0
+DISTANCE_SENTINEL = -1.0
+
+
+class RecordTraceResult(NamedTuple):
+    """Per-ray-capacity record layout (row r = ray r's hit segment).
+
+    Entries with column >= min(counts[r], capacity) hold the sentinels
+    (index -1, integral 0, distance -1). counts are EXACT hit counts even
+    when a ray overflows its capacity (excess records are dropped)."""
+
+    counts: jax.Array      # i32[R]
+    indices: jax.Array     # i32[R, C] intersected sphere indices (sorted order)
+    integrals: jax.Array   # f32[R, C]
+    distances: jax.Array   # f32[R, C]
+
+    @property
+    def capacity(self) -> int:
+        return self.indices.shape[1]
+
+    @property
+    def overflowed(self) -> jax.Array:
+        return self.counts > self.indices.shape[1]
+
+
+def _records_tile_kernel(
+    mask_ref,       # SMEM (1, 1, n_words) i32 overlap bitmask words
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs, 8, SEG) resident slabs
+    counts_ref,     # VMEM out (TILE, 1) i32
+    idx_ref,        # VMEM out (TILE, C) i32
+    intg_ref,       # VMEM out (TILE, C) f32
+    dist_ref,       # VMEM out (TILE, C) f32
+    seg_list,       # SMEM scratch (n_words*32,) i32
+    *,
+    cap: int,
+):
+    tile = rays_ref.shape[0]
+    n_words = mask_ref.shape[2]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, SEG), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, cap), 1)
+
+    # Phase 1: decode this tile's bitmask words into a segment-id list
+    # (identical to the bitmask cumulative kernel's scalar phase).
+    def word_body(w, n):
+        word0 = mask_ref[0, 0, w]
+
+        def emit(state):
+            word, n = state
+            for s in range(32):
+                seg_list[n] = w * 32 + s
+                n = n + ((word >> s) & 1)
+            return n
+
+        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
+
+    n = jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
+
+    # Phase 2: segment loop; per slab, drain the hit mask one hit per
+    # extraction iteration, appending at the per-ray cursor.
+    def seg_body(k, state):
+        cur, rid, rint, rdst = state
+        seg = seg_list[k]
+        slab = prims_ref[seg]
+        px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+        inv_h2, h2 = slab[4:5, :], slab[5:6, :]
+
+        rx, ry, rz = px - ox, py - oy, pz - oz
+        dot = rx * dx + ry * dy + rz * dz
+        bx = rx - dot * dx
+        by = ry - dot * dy
+        bz = rz - dot * dz
+        b2 = bx * bx + by * by + bz * bz
+        hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+        f = cubic_spline_line_integral_horner1(b2 * inv_h2) * inv_h2
+
+        m0 = hit.astype(jnp.int32)
+        n_extract = jnp.max(jnp.sum(m0, axis=1))
+
+        def extract(_, st):
+            m, cur, rid, rint, rdst = st
+            first = jnp.min(jnp.where(m > 0, lane, SEG), axis=1, keepdims=True)
+            valid = first < SEG                              # (tile, 1)
+            oh = lane == first                               # one lane when valid
+            pick = lambda x: jnp.sum(jnp.where(oh, x, 0.0), axis=1, keepdims=True)
+            p_dst = pick(dot)
+            p_int = pick(f)
+            p_idx = seg * SEG + first
+            ohc = (col == cur) & valid                       # (tile, cap)
+            rid = jnp.where(ohc, p_idx, rid)
+            rint = jnp.where(ohc, p_int, rint)
+            rdst = jnp.where(ohc, p_dst, rdst)
+            cur = cur + valid.astype(jnp.int32)
+            m = jnp.where(oh, 0, m)
+            return m, cur, rid, rint, rdst
+
+        _, cur, rid, rint, rdst = jax.lax.fori_loop(
+            0, n_extract, extract, (m0, cur, rid, rint, rdst))
+        return cur, rid, rint, rdst
+
+    cur0 = jnp.zeros((tile, 1), jnp.int32)
+    rid0 = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
+    rint0 = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
+    rdst0 = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
+    cur, rid, rint, rdst = jax.lax.fori_loop(
+        0, n, seg_body, (cur0, rid0, rint0, rdst0))
+    counts_ref[...] = cur
+    idx_ref[...] = rid
+    intg_ref[...] = rint
+    dist_ref[...] = rdst
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("per_ray_capacity", "tile", "interpret",
+                     "vmem_resident_limit"),
+)
+def pallas_trace_sph_records(
+    rays: Rays,
+    spheres: jax.Array,
+    per_ray_capacity: int,
+    tile: int = 64,
+    interpret: bool = False,
+    vmem_resident_limit: int = 40 * 1024 * 1024,
+) -> RecordTraceResult:
+    """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
+    — see module docstring). per_ray_capacity must be a multiple of 128.
+
+    Hit records of ray r land in row r in ascending-primitive-index order
+    (segments are visited ascending and lanes drained left to right), exactly
+    the ordering the XLA engine's Morton-ordered traversal produces for the
+    same sorted sphere array."""
+    if per_ray_capacity % 128:
+        raise ValueError("per_ray_capacity must be a multiple of 128 lanes")
+    n_rays = rays.n_rays
+    pad = (-n_rays) % tile
+    if pad:
+        rays = Rays(
+            jnp.concatenate([rays.origins, jnp.broadcast_to(rays.origins[-1:], (pad, 3))]),
+            jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
+            jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
+        )
+    packed, r_pad = _pack_rays(rays, tile)
+    prims, n_prim_pad = _pack_prims(spheres)
+    if (n_prim_pad // SEG) * 8 * SEG * 4 > vmem_resident_limit:
+        raise ValueError(
+            "pallas_trace_sph_records requires the VMEM-resident primitive "
+            "regime; use trace_sph (XLA engine) for larger scenes")
+    prims3d = prims.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
+
+    from grace_tpu.trace.pallas_broadphase import dense_tile_masks
+
+    masks = dense_tile_masks(rays, spheres, tile)
+    n_tiles = r_pad // tile
+    cap = per_ray_capacity
+
+    counts, idx, intg, dist = pl.pallas_call(
+        functools.partial(_records_tile_kernel, cap=cap),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
+        interpret=interpret,
+    )(masks[:, None, :], packed, prims3d)
+
+    return RecordTraceResult(
+        counts=counts[:n_rays, 0],
+        indices=idx[:n_rays],
+        integrals=intg[:n_rays],
+        distances=dist[:n_rays],
+    )
+
+
+def sort_records_by_distance(rec: RecordTraceResult) -> RecordTraceResult:
+    """Per-ray distance sort of the record matrix (ref: sort_by_distance,
+    cuda/sort.cuh:100-131). The reference needs a segmented (sgpu) sort; the
+    rectangular layout makes it ONE batched lane-axis lax.sort — sentinel
+    slots (distance -1) are keyed to +inf so they stay at the tail."""
+    key = jnp.where(rec.indices == INDEX_SENTINEL, jnp.inf, rec.distances)
+    _, dist, idx, intg = jax.lax.sort(
+        (key, rec.distances, rec.indices, rec.integrals), dimension=1,
+        num_keys=1)
+    return RecordTraceResult(rec.counts, idx, intg, dist)
+
+
+def records_to_flat(
+    rec: RecordTraceResult,
+    capacity: int,
+    index_sentinel: int = INDEX_SENTINEL,
+    value_sentinel: float = VALUE_SENTINEL,
+    distance_sentinel: float = DISTANCE_SENTINEL,
+    sentinel_slots: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Convert the rectangular record layout to the reference's flat
+    offset-segmented layout (trace_sph's contract): returns (offsets, counts,
+    indices[capacity], integrals[capacity], distances[capacity]).
+
+    sentinel_slots=True reserves one extra (pre-filled) slot per ray, the
+    trace_with_sentinels_sph contract (ref: trace_sph.cuh:170-241)."""
+    c = rec.capacity
+    counts = jnp.minimum(rec.counts, c)
+    stride = counts + (1 if sentinel_slots else 0)
+    offsets = (jnp.cumsum(stride) - stride).astype(jnp.int32)
+    colid = jnp.arange(c, dtype=jnp.int32)[None, :]
+    valid = colid < counts[:, None]
+    dest = jnp.where(valid, offsets[:, None] + colid, capacity)
+    indices = jnp.full((capacity,), index_sentinel, jnp.int32).at[dest].set(
+        rec.indices, mode="drop")
+    integrals = jnp.full((capacity,), value_sentinel, jnp.float32).at[dest].set(
+        rec.integrals, mode="drop")
+    distances = jnp.full((capacity,), distance_sentinel, jnp.float32).at[dest].set(
+        rec.distances, mode="drop")
+    return offsets, counts, indices, integrals, distances

@@ -91,6 +91,9 @@ def trace_sph(
     capacity: int,
     table=None,
     stack_size: int = 64,
+    engine: str = "xla",
+    per_ray_capacity: int = 256,
+    interpret: bool = False,
 ) -> SphTraceResult:
     """Two-pass per-hit trace (ref: trace_sph.cuh:111-168).
 
@@ -98,7 +101,35 @@ def trace_sph(
     thrust::exclusive_scan, :135-137); pass 2 re-traverses and scatters
     (index, integral, distance) at offsets[r] + cursor, the analog of
     RayEntry_from_array seeding the write cursor (:150-167).
+
+    engine='pallas' routes through the fused single-pass record kernel
+    (pallas_records.pallas_trace_sph_records) — per-ray hit lists are bounded
+    by per_ray_capacity (multiple of 128) and the kernel's Horner-polynomial
+    integral replaces the table lerp (identical to ~2.7e-4; the Pallas
+    cumulative path uses the same form). Within-ray record order is
+    ascending primitive index (the XLA engine emits traversal order; neither
+    is a contract — sort_by_distance fixes the order downstream).
     """
+    if engine == "pallas":
+        from grace_tpu.trace.pallas_records import (
+            pallas_trace_sph_records,
+            records_to_flat,
+        )
+
+        rec = pallas_trace_sph_records(rays, spheres, per_ray_capacity,
+                                       interpret=interpret)
+        offsets, _, indices, integrals, distances = records_to_flat(
+            rec, capacity)
+        return SphTraceResult(
+            offsets=offsets,
+            counts=rec.counts,
+            indices=indices,
+            integrals=integrals,
+            distances=distances,
+            total_hits=jnp.sum(rec.counts),
+        )
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r}")
     table = _DEFAULT_TABLE if table is None else table
     counts = trace_hitcounts_sph(rays, spheres, tree, stack_size)
     offsets = jnp.cumsum(counts) - counts
@@ -142,11 +173,37 @@ def trace_with_sentinels_sph(
     distance_sentinel: float = -1.0,
     table=None,
     stack_size: int = 64,
+    engine: str = "xla",
+    per_ray_capacity: int = 256,
+    interpret: bool = False,
 ) -> SphTraceResult:
     """Per-hit trace with one sentinel entry appended per ray segment
     (ref: trace_sph.cuh:170-241). Segment r occupies
     [offsets[r], offsets[r] + counts[r]] inclusive of its sentinel slot;
-    capacity must cover total_hits + n_rays."""
+    capacity must cover total_hits + n_rays. engine='pallas' routes through
+    the fused record kernel (see trace_sph)."""
+    if engine == "pallas":
+        from grace_tpu.trace.pallas_records import (
+            pallas_trace_sph_records,
+            records_to_flat,
+        )
+
+        rec = pallas_trace_sph_records(rays, spheres, per_ray_capacity,
+                                       interpret=interpret)
+        offsets, counts, indices, integrals, distances = records_to_flat(
+            rec, capacity, index_sentinel=index_sentinel,
+            value_sentinel=value_sentinel,
+            distance_sentinel=distance_sentinel, sentinel_slots=True)
+        return SphTraceResult(
+            offsets=offsets,
+            counts=rec.counts,
+            indices=indices,
+            integrals=integrals,
+            distances=distances,
+            total_hits=jnp.sum(rec.counts + 1),
+        )
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r}")
     table = _DEFAULT_TABLE if table is None else table
     counts = trace_hitcounts_sph(rays, spheres, tree, stack_size)
     # +1 slot per ray for the sentinel.
