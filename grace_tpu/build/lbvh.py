@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from grace_tpu.core.tree import Tree, encode_leaf_child
+from grace_tpu.core.errors import debug_assert, require
 from grace_tpu.build.deltas import delta_max_sentinel
 
 
@@ -234,12 +235,11 @@ def build_lbvh(
       Tree with capacity N-1 internal nodes / N leaves.
     """
     n = prim_aabb_mins.shape[0]
-    if n < 2:
-        raise ValueError("build_lbvh requires at least 2 primitives")
-    if not (1 <= max_per_leaf < n):
-        # ref build_ALBVH throws std::invalid_argument for misuse
-        # (albvh.cuh:795-799); shape-static misuse is a Python-time error here.
-        raise ValueError(f"max_per_leaf {max_per_leaf} out of range for N={n}")
+    # ref build_ALBVH throws std::invalid_argument for misuse
+    # (albvh.cuh:795-799); shape-static misuse is a Python-time GraceError.
+    require(n >= 2, "build_lbvh requires at least 2 primitives")
+    require(1 <= max_per_leaf < n,
+            f"max_per_leaf {max_per_leaf} out of range for N={n}")
 
     # ---- Phase A: primitive-level Cartesian ranges + leaf coalescing ------
     l, r = cartesian_tree_ranges(deltas)
@@ -331,6 +331,34 @@ def build_lbvh(
     )  # [cap, 2(child), 2(min/max), 3]
 
     leaves = jnp.stack([leaf_first, leaf_count], axis=1)
+
+    # GRACE_TPU_DEBUG invariants (ref GRACE_ASSERT in albvh.cuh:160,227,531,
+    # 661 guards the build protocol; the deterministic formulation here has
+    # no arrival races, so the surviving invariants are the OUTPUT contracts
+    # the trace kernels rely on):
+    #  * leaves tile [0, N): consecutive, starting at 0, ending at n.
+    #  * every valid leaf holds 1..max_per_leaf primitives.
+    #  * every valid node's child AABBs are non-empty (min <= max).
+    debug_assert(
+        (leaf_first[0] == 0)
+        & jnp.all(jnp.where(leaf_valid, leaf_count >= 1, True))
+        & jnp.all(jnp.where(leaf_valid, leaf_count <= max_per_leaf, True)),
+        "leaf partition: counts out of [1, max_per_leaf] or nonzero start",
+    )
+    ends = leaf_first + leaf_count
+    nxt = jnp.where(kk + 1 < n_leaves, leaf_first[jnp.minimum(kk + 1, n - 1)],
+                    ends)
+    debug_assert(
+        jnp.all(jnp.where(leaf_valid, nxt == ends, True))
+        & (ends[jnp.maximum(n_leaves - 1, 0)] == n),
+        "leaf partition: gaps or wrong terminal primitive",
+    )
+    debug_assert(
+        jnp.all(jnp.where(node_valid[:, None, None],
+                          child_aabbs[:, :, 0, :] <= child_aabbs[:, :, 1, :],
+                          True)),
+        "node child AABBs empty/inverted",
+    )
     return Tree(
         children=children,
         child_aabbs=child_aabbs,

@@ -34,6 +34,21 @@ def debug_enabled() -> bool:
     return os.environ.get("GRACE_TPU_DEBUG", "0") not in ("", "0", "false")
 
 
+def check_overflow(flag, msg: str = "capacity overflow") -> None:
+    """Host-side fetch-and-raise on an overflow flag (bool or count>cap).
+
+    The TPU analog of the reference's fatal ``cuda_error_check``
+    (ref: error.h:40-55): capacity-bounded kernels RETURN overflow flags
+    (device code cannot raise); every host consumer must funnel them here
+    before trusting the results. Forces a blocking device fetch — call it
+    outside hot loops.
+    """
+    import numpy as np
+
+    if bool(np.any(np.asarray(flag))):
+        raise GraceError(msg + " — re-run with a larger capacity")
+
+
 def debug_assert(pred, msg: str = "grace_tpu debug assertion failed"):
     """Device-side invariant check, active only when GRACE_TPU_DEBUG is set.
 

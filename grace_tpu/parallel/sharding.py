@@ -48,11 +48,19 @@ def replicated_sharded_render(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(("rays", "space")), P(), jax.tree_util.tree_map(lambda _: P(), tree)),
-        out_specs=P(("rays", "space")),
+        out_specs=(P(("rays", "space")), P()),
     )
     def shard_render(local_rays, spheres, tree):
         recs = find_hits(local_rays, spheres, tree, capacity_per_shard)
-        return integrate_hits(recs, local_rays, spheres, local_rays.n_rays)
+        img = integrate_hits(recs, local_rays, spheres, local_rays.n_rays)
+        # Overflowed shards silently drop hits — surface the flag, reduced
+        # over the whole mesh so every host sees it (VERDICT r1: sharded
+        # consumers must check total_hits > capacity).
+        ovf = jax.lax.pmax(
+            (recs.total_hits > capacity_per_shard).astype(jnp.int32),
+            ("rays", "space"),
+        )
+        return img, ovf > 0
 
     return shard_render(rays, spheres, tree)
 
@@ -80,14 +88,15 @@ def ring_render_and_loss(
     sorted_spheres, tree, _ = build_sph_tree(local_spheres, max_per_leaf)
 
     def step(carry, _):
-        rays_blk, acc = carry
+        rays_blk, acc, ovf = carry
         recs = find_hits(rays_blk, jax.lax.stop_gradient(sorted_spheres), tree, capacity)
         acc = acc + integrate_hits(recs, rays_blk, sorted_spheres, rays_blk.n_rays)
+        ovf = ovf | (recs.total_hits > capacity)
         rays_nxt = jax.tree_util.tree_map(
             lambda x: jax.lax.ppermute(x, space_axis, perm), rays_blk
         )
         acc_nxt = jax.lax.ppermute(acc, space_axis, perm)
-        return (rays_nxt, acc_nxt), None
+        return (rays_nxt, acc_nxt, ovf), None
 
     # scan requires a consistent carry type under shard_map: ppermute makes
     # every carry leaf varying over the mesh axes, so promote any
@@ -95,11 +104,15 @@ def ring_render_and_loss(
     from grace_tpu.utils.vma import promote_to_vma
 
     acc0 = jnp.zeros((local_rays.n_rays,), jnp.float32)
-    init = promote_to_vma((local_rays, acc0), frozenset(("rays", space_axis)))
-    (rays_out, img), _ = jax.lax.scan(step, init, None, length=n_space)
-    # After n_space ppermutes the block is back at its home shard.
+    ovf0 = jnp.zeros((), jnp.bool_)
+    init = promote_to_vma((local_rays, acc0, ovf0),
+                          frozenset(("rays", space_axis)))
+    (rays_out, img, ovf), _ = jax.lax.scan(step, init, None, length=n_space)
+    # After n_space ppermutes the block is back at its home shard. The
+    # overflow flag traveled with the block; reduce so every shard agrees.
+    overflow = jax.lax.pmax(ovf.astype(jnp.int32), ("rays", space_axis)) > 0
     local_loss = jnp.sum((img - target) ** 2)
-    return img, local_loss
+    return img, local_loss, overflow
 
 
 def sharded_train_step(
@@ -118,6 +131,10 @@ def sharded_train_step(
     replicated over "rays". The loss gradient w.r.t. the local particle shard
     is psum'd over "rays" by shard_map's transpose; the returned updated
     particles keep the P("space") sharding.
+
+    Returns (new_spheres, loss, overflow). overflow=True means some shard's
+    hit buffer overflowed ``capacity`` and the loss/gradient are silently
+    truncated — callers MUST check it (errors.check_overflow raises).
     """
 
     def train(rays, spheres, targets):
@@ -125,21 +142,22 @@ def sharded_train_step(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(("rays", "space")), P("space"), P(("rays", "space"))),
-            out_specs=(P("space"), P()),
+            out_specs=(P("space"), P(), P()),
         )
         def grad_shard(local_rays, local_spheres, local_targets):
             def loss_fn(ls):
-                _, local_loss = ring_render_and_loss(
+                _, local_loss, overflow = ring_render_and_loss(
                     local_rays, ls, local_targets, capacity, max_per_leaf
                 )
                 # Total loss over every ray shard: psum over both axes.
-                return jax.lax.psum(local_loss, ("rays", "space"))
+                return jax.lax.psum(local_loss, ("rays", "space")), overflow
 
-            loss, g = jax.value_and_grad(loss_fn)(local_spheres)
-            return g, loss
+            (loss, overflow), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                local_spheres)
+            return g, loss, overflow
 
-        g, loss = grad_shard(rays, spheres, targets)
+        g, loss, overflow = grad_shard(rays, spheres, targets)
         new_spheres = spheres - lr * g
-        return new_spheres, loss
+        return new_spheres, loss, overflow
 
     return jax.jit(train)(rays, spheres, targets)

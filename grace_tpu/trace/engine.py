@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from grace_tpu.core.config import VECTOR_STACK_SIZE
+from grace_tpu.core.errors import debug_assert
 from grace_tpu.core.types import Rays
 from grace_tpu.core.tree import Tree
 from grace_tpu.ops.intersect import aabbs_hit, safe_inverse_direction
@@ -129,6 +130,13 @@ def trace(
         col1 = jnp.where(at_node & (n_push == 2), top_col + 1, stack_size)
         new_stack = new_stack.at[ray_ids, col1].set(second, mode="drop")
         sp_node = sp - 1 + n_push
+        # Stack-bound invariant (ref GRACE_ASSERT, bintree_trace.cuh:164):
+        # a push past stack_size silently drops the node — results would be
+        # truncated. Active only under GRACE_TPU_DEBUG=1.
+        debug_assert(
+            jnp.logical_not(at_node) | (sp_node <= stack_size),
+            "traversal stack overflow: raise stack_size",
+        )
 
         # ---- leaf step: gather <= mpl primitives and intersect ------------
         leaf = jnp.clip(jnp.invert(top), 0, tree.leaf_capacity - 1)

@@ -42,20 +42,21 @@ def test_replicated_sharded_render_matches_single(rng):
     single = np.array(integrate_hits(recs, rays, sorted_spheres, rays.n_rays))
 
     mesh = make_mesh(4, 2)
-    sharded = np.array(
-        replicated_sharded_render(mesh, rays, sorted_spheres, tree, 1 << 12)
-    )
-    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+    sharded, overflow = replicated_sharded_render(
+        mesh, rays, sorted_spheres, tree, 1 << 12)
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.array(sharded), single, rtol=1e-5, atol=1e-7)
 
 
 def test_ring_train_step_runs_and_decreases_loss(rng):
     spheres, rays = setup(rng, n=128, r=64)
     targets = jnp.zeros((64,), jnp.float32)
     mesh = make_mesh(4, 2)
-    s1, loss1 = sharded_train_step(mesh, rays, spheres, targets,
-                                   capacity=4096, max_per_leaf=4, lr=1e-6)
-    s2, loss2 = sharded_train_step(mesh, rays, jnp.asarray(s1), targets,
-                                   capacity=4096, max_per_leaf=4, lr=1e-6)
+    s1, loss1, ovf1 = sharded_train_step(mesh, rays, spheres, targets,
+                                         capacity=4096, max_per_leaf=4, lr=1e-6)
+    s2, loss2, ovf2 = sharded_train_step(mesh, rays, jnp.asarray(s1), targets,
+                                         capacity=4096, max_per_leaf=4, lr=1e-6)
+    assert not bool(ovf1) and not bool(ovf2)
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert float(loss2) <= float(loss1), (float(loss1), float(loss2))
 
@@ -66,8 +67,9 @@ def test_ring_render_matches_unsharded(rng):
     spheres, rays = setup(rng, n=128, r=64)
     targets = jnp.zeros((64,), jnp.float32)
     mesh = make_mesh(4, 2)
-    _, loss_ring = sharded_train_step(mesh, rays, spheres, targets,
-                                      capacity=4096, max_per_leaf=4, lr=0.0)
+    _, loss_ring, ovf = sharded_train_step(mesh, rays, spheres, targets,
+                                           capacity=4096, max_per_leaf=4, lr=0.0)
+    assert not bool(ovf)
 
     # Unsharded oracle for the same loss (lr=0 so spheres unchanged).
     sorted_spheres, tree, _ = jax.jit(build_sph_tree, static_argnums=1)(spheres, 4)
@@ -75,3 +77,26 @@ def test_ring_render_matches_unsharded(rng):
     img = integrate_hits(recs, rays, sorted_spheres, rays.n_rays)
     loss_ref = float(jnp.sum(img ** 2))
     assert abs(float(loss_ring) - loss_ref) < 1e-2 * max(1.0, abs(loss_ref))
+
+def test_undersized_capacity_fails_loudly(rng):
+    # An undersized hit capacity must NOT silently truncate the sharded
+    # training step: the overflow flag comes back set mesh-wide and
+    # check_overflow raises (VERDICT r1 "overflow/error discipline").
+    from grace_tpu.core.errors import GraceError, check_overflow
+
+    # Every ray shoots straight through the particle cloud: each 8-ray
+    # block hits far more than 4 particles per 64-particle shard.
+    spheres = make_spheres((rng.random((128, 3)) * 0.2 - 0.1).astype(np.float32),
+                           np.full((128,), 0.3, np.float32))
+    rays = Rays(
+        jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (64, 1)).astype(np.float32)),
+        jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (64, 1)).astype(np.float32)),
+        jnp.full((64,), 6.0, jnp.float32),
+    )
+    targets = jnp.zeros((64,), jnp.float32)
+    mesh = make_mesh(4, 2)
+    _, _, ovf = sharded_train_step(mesh, rays, spheres, targets,
+                                   capacity=4, max_per_leaf=4, lr=1e-6)
+    assert bool(ovf)
+    with pytest.raises(GraceError):
+        check_overflow(ovf, "sharded train step hit-capacity overflow")
