@@ -68,7 +68,7 @@ def pipelined_ms(dispatch, n_iter=7, reps=3):
     return best * 1e3
 
 
-def main():
+def main(sharded: bool = False):
     import jax
     import jax.numpy as jnp
     from grace_tpu.build.sph import build_sph_tree
@@ -113,6 +113,37 @@ def main():
     rel_err = float(jnp.max(jnp.abs(img - img_trace)) / jnp.max(img_trace))
     assert np.isfinite(rel_err) and rel_err < 1e-3, f"splat/trace mismatch {rel_err}"
 
+    # ---- optional sharded mode (mesh over all available chips; on the one
+    # real chip this is the degenerate 1x1 mesh — validates that the sharded
+    # fast path produces identical results and comparable speed) ------------
+    if sharded:
+        from grace_tpu.core.errors import check_overflow
+        from grace_tpu.parallel.sharding import (
+            make_mesh, sharded_pallas_render, sharded_splat_render)
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, 1)
+        img_sh = sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128)
+        rel = float(jnp.max(jnp.abs(img_sh - img)) / jnp.max(img))
+        assert rel < 1e-6, f"sharded splat != single-chip splat ({rel})"
+        tr_sh, ovf_sh = sharded_pallas_render(mesh, rays_s, sorted_spheres,
+                                              tile=64)
+        check_overflow(ovf_sh, "sharded trace overflow")
+        assert bool(jnp.all(tr_sh == trace_v)), "sharded trace != single"
+        splat_sh_ms = pipelined_ms(
+            lambda: sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128))
+        rays_per_s = N_RAYS / (splat_sh_ms / 1e3)
+        print(json.dumps({
+            "metric": "sph_column_density_rays_per_s_sharded",
+            "value": rays_per_s,
+            "unit": "rays/s",
+            "vs_baseline": rays_per_s / NORTH_STAR_RAYS_PER_S,
+            "n_devices": n_dev,
+            "sharded_equals_single": True,
+            "splat_frame_ms": round(splat_sh_ms, 3),
+        }))
+        return
+
     # ---- timing ------------------------------------------------------------
     def run_splat():
         return splat_image(buckets, tile_w=32, tile_h=128)
@@ -152,4 +183,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sharded="--sharded" in sys.argv)

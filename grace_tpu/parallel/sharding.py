@@ -65,6 +65,175 @@ def replicated_sharded_render(
     return shard_render(rays, spheres, tree)
 
 
+def sharded_pallas_render(
+    mesh: Mesh,
+    rays: Rays,
+    spheres,
+    tile: int = 64,
+    mode: str = "cumulative",
+    interpret: bool = False,
+):
+    """v1 scaling of the FAST path: rays sharded over the whole mesh,
+    particles replicated, each shard running the fused Pallas trace kernel
+    (bitmask broadphase + resident kernel) on its local ray block.
+
+    The forward is communication-free; returns (values f32/i32[R],
+    overflow bool[]) with the overflow flag pmax'd mesh-wide
+    (always False on the bitmask path, kept for contract uniformity).
+    """
+    return _sharded_pallas_fn(mesh, tile, mode, interpret)(rays, spheres)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pallas_fn(mesh: Mesh, tile: int, mode: str, interpret: bool):
+    # Cached jitted closure: rebuilding the shard_map per call would re-trace
+    # AND run every wrapper op eagerly — pathological on the axon tunnel.
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(("rays", "space")), P()),
+        out_specs=(P(("rays", "space")), P()),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    def shard_render(local_rays, spheres):
+        v, ovf = pallas_trace_sph(
+            local_rays, spheres, tile=tile, mode=mode,
+            broadphase="bitmask", interpret=interpret)
+        flag = jax.lax.pmax(jnp.any(ovf).astype(jnp.int32), ("rays", "space"))
+        return v, flag > 0
+
+    return jax.jit(shard_render)
+
+
+def ring_pallas_render(
+    mesh: Mesh,
+    rays: Rays,
+    spheres,
+    tile: int = 64,
+    interpret: bool = False,
+):
+    """v2 scaling of the FAST path: particles spatially sharded over "space",
+    ray blocks (with accumulators) circulating the ring via ppermute, the
+    fused Pallas cumulative kernel running per step against the resident
+    particle shard — ring_render_and_loss's structure with the fused kernel
+    inside (r1 review item: the fast renderer must scale past one chip's
+    HBM). Returns (values f32[R], overflow bool[]).
+    """
+    return _ring_pallas_fn(mesh, tile, interpret)(rays, spheres)
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_pallas_fn(mesh: Mesh, tile: int, interpret: bool):
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+    from grace_tpu.utils.vma import promote_to_vma
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(("rays", "space")), P("space")),
+        out_specs=(P(("rays", "space")), P()),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    def shard_render(local_rays, local_spheres):
+        n_space = jax.lax.axis_size("space")
+        perm = [(i, (i + 1) % n_space) for i in range(n_space)]
+
+        def step(carry, _):
+            rays_blk, acc, ovf = carry
+            v, o = pallas_trace_sph(
+                rays_blk, local_spheres, tile=tile, mode="cumulative",
+                broadphase="bitmask", interpret=interpret)
+            acc = acc + v
+            ovf = ovf | jnp.any(o)
+            rays_nxt = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, "space", perm), rays_blk)
+            acc_nxt = jax.lax.ppermute(acc, "space", perm)
+            return (rays_nxt, acc_nxt, ovf), None
+
+        acc0 = jnp.zeros((local_rays.n_rays,), jnp.float32)
+        init = promote_to_vma(
+            (local_rays, acc0, jnp.zeros((), jnp.bool_)),
+            frozenset(("rays", "space")))
+        (_, img, ovf), _ = jax.lax.scan(step, init, None, length=n_space)
+        flag = jax.lax.pmax(ovf.astype(jnp.int32), ("rays", "space"))
+        return img, flag > 0
+
+    return jax.jit(shard_render)
+
+
+def sharded_splat_render(
+    mesh: Mesh,
+    buckets,
+    tile_w: int = 64,
+    tile_h: int = 128,
+    interpret: bool = False,
+):
+    """MXU splat renderer over the mesh: image TILE ROWS sharded across all
+    devices (row-major tile order makes the leading meta axis the row axis),
+    instance slabs replicated. Communication-free forward; the per-(scene,
+    camera) bucket prep stays replicated (it is ~1%% of frame time).
+
+    Returns the full image f32[H, W] sharded over rows.
+    """
+    n_dev = mesh.devices.size
+    h_res = buckets.yrows.shape[0]
+    nty = h_res // tile_w
+    if nty % n_dev:
+        raise ValueError(f"tile rows {nty} must divide over {n_dev} devices")
+    ntx = buckets.xcols.shape[0] // tile_h
+    return _sharded_splat_fn(mesh, tile_w, tile_h, nty, ntx, interpret)(buckets)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_splat_fn(mesh: Mesh, tile_w: int, tile_h: int, nty: int,
+                      ntx: int, interpret: bool):
+    from grace_tpu.trace.splat import SplatBuckets, splat_image
+
+    # Leading-axis row sharding of the per-tile metadata + pixel-row coords.
+    specs = SplatBuckets(
+        slabs=P(), slab_lo=P(("rays", "space")), n_slabs=P(("rays", "space")),
+        first=P(("rays", "space")), last=P(("rays", "space")),
+        xcols=P(), yrows=P(("rays", "space")), overflow=P(),
+    )
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(specs,),
+        out_specs=P(("rays", "space")),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    def shard_render(local):
+        # The shard's 2D [local_rows, ntx] meta flattens back to the 1-D
+        # row-major tile order splat_image expects.
+        flat = SplatBuckets(
+            slabs=local.slabs,
+            slab_lo=local.slab_lo.reshape(-1),
+            n_slabs=local.n_slabs.reshape(-1),
+            first=local.first.reshape(-1),
+            last=local.last.reshape(-1),
+            xcols=local.xcols, yrows=local.yrows, overflow=local.overflow,
+        )
+        return splat_image(flat, tile_w=tile_w, tile_h=tile_h,
+                           interpret=interpret)
+
+    @jax.jit
+    def run(buckets):
+        # Reshape tile meta to [nty, ntx] rows so the leading axis is rows.
+        def rows(a):
+            return a.reshape(nty, ntx)
+
+        local_buckets = SplatBuckets(
+            slabs=buckets.slabs,
+            slab_lo=rows(buckets.slab_lo), n_slabs=rows(buckets.n_slabs),
+            first=rows(buckets.first), last=rows(buckets.last),
+            xcols=buckets.xcols, yrows=buckets.yrows, overflow=buckets.overflow,
+        )
+        return shard_render(local_buckets)
+
+    return run
+
+
 def ring_render_and_loss(
     local_rays: Rays,
     local_spheres,

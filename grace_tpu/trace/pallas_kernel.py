@@ -380,7 +380,7 @@ def _trace_tile_kernel_subtiled(
 def pallas_trace_sph(
     rays: Rays,
     spheres: jax.Array,
-    tree: Tree,
+    tree: Tree | None = None,
     tile: int = DEFAULT_TILE,
     max_chunks: int = 2048,
     mode: str = "cumulative",
@@ -397,10 +397,13 @@ def pallas_trace_sph(
     Returns (per_ray_values f32/i32[R], overflow bool[n_tiles]). Overflowed
     tiles have incomplete sums — re-run with a larger max_chunks.
     ``broadphase``: 'dense' (default; hierarchical-free segment culling,
-    see pallas_broadphase.py) or 'xla' (lockstep BVH walk oracle).
+    see pallas_broadphase.py) or 'xla' (lockstep BVH walk oracle). ``tree``
+    is only consulted by the 'xla' broadphase and may be None otherwise.
     """
     if mode not in ("cumulative", "hitcount"):
         raise ValueError(f"unknown mode {mode!r}")
+    if tree is None and broadphase == "xla":
+        raise ValueError("broadphase='xla' requires a tree")
     n_rays = rays.n_rays
     pad = (-n_rays) % tile
     if pad:

@@ -100,3 +100,40 @@ def test_undersized_capacity_fails_loudly(rng):
     assert bool(ovf)
     with pytest.raises(GraceError):
         check_overflow(ovf, "sharded train step hit-capacity overflow")
+
+
+def test_sharded_pallas_fast_path_matches_single(rng):
+    # VERDICT r1 item 3: the FAST (fused Pallas) renderer must run under
+    # shard_map. v1 (rays sharded) and v2 (ring over particle shards) must
+    # both reproduce the single-device fused kernel.
+    from grace_tpu.parallel.sharding import ring_pallas_render, sharded_pallas_render
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    spheres, rays = setup(rng, n=256, r=64)
+    mesh = make_mesh(4, 2)
+    single, _ = pallas_trace_sph(rays, spheres, tile=8,
+                                 broadphase="bitmask", interpret=True)
+    v1, ovf1 = sharded_pallas_render(mesh, rays, spheres, tile=8,
+                                     interpret=True)
+    assert not bool(ovf1)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(single), rtol=1e-5)
+
+    v2, ovf2 = ring_pallas_render(mesh, rays, spheres, tile=8, interpret=True)
+    assert not bool(ovf2)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(single),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_splat_matches_single(rng):
+    from grace_tpu.parallel.sharding import sharded_splat_render
+    from grace_tpu.trace.splat import bucket_prims_ortho, splat_image
+
+    spheres, _ = setup(rng, n=256)
+    buckets = bucket_prims_ortho(
+        spheres, (0.0, 0.0, -2.0), (0.0, 0.0, 0.0), (0, 1, 0), 2.6, 6.0,
+        128, 32, tile_w=4, tile_h=128, chunk=128)
+    img_s = splat_image(buckets, tile_w=4, tile_h=128, interpret=True)
+    img_m = sharded_splat_render(mesh := make_mesh(4, 2), buckets,
+                                 tile_w=4, tile_h=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
+                               rtol=1e-5, atol=1e-7)
