@@ -155,6 +155,31 @@ def main(sharded: bool = False):
 
     splat_ms = pipelined_ms(run_splat)
     trace_ms = pipelined_ms(run_trace)
+
+    # Differentiable train step (fused Pallas forward AND backward,
+    # trace/pallas_render.py): render -> L2 loss vs target -> particle +
+    # weight gradients -> SGD update, at full bench scale.
+    from grace_tpu.trace.pallas_render import make_fused_renderer
+
+    n_bwd_tiles = (N_RAYS + 127) // 128
+    renderer = make_fused_renderer(tile=128, max_chunks=2048,
+                                   max_tiles_per_seg=n_bwd_tiles)
+    weights = jnp.ones((N_PARTICLES,), jnp.float32)
+    target = img_trace.reshape(-1) * 1.01
+
+    @jax.jit
+    def train_step(s, w):
+        def loss_fn(s, w):
+            v = renderer(rays_s, s, w)
+            return jnp.sum((v - target) ** 2) / N_RAYS
+
+        loss, (gs, gw) = jax.value_and_grad(loss_fn, argnums=(0, 1))(s, w)
+        return s - 1e-6 * gs, w - 1e-6 * gw, loss
+
+    s1, w1, loss1 = train_step(sorted_spheres, weights)
+    assert np.isfinite(float(loss1)) and bool(jnp.all(jnp.isfinite(s1)))
+    train_ms = pipelined_ms(
+        lambda: train_step(sorted_spheres, weights)[2], n_iter=3)
     bucket_ms = pipelined_ms(
         lambda: bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT,
                                    LENGTH, side, side, tile_w=32, tile_h=128,
@@ -175,6 +200,7 @@ def main(sharded: bool = False):
                 "general_trace_rays_per_s": N_RAYS / (trace_ms / 1e3),
                 "bucket_prep_ms": round(bucket_ms, 2),
                 "splat_frame_ms": round(splat_ms, 3),
+                "train_step_ms": round(train_ms, 2),
                 "device_parity_check": "ok",
                 "splat_vs_trace_rel_err": rel_err,
             }

@@ -71,15 +71,37 @@ def main():
 
     counts = hitcount()
     total = int(counts.sum())
-    cap = int(1.2 * total) + 1024
+
+    # Full per-hit trace: the fused single-pass record kernel at FULL scale
+    # (ref trace_sph two-pass, trace_sph.cuh:111-168), per-ray capacity from
+    # the observed maximum rounded up to lanes.
+    from grace_tpu.trace.pallas_records import (
+        pallas_trace_sph_records,
+        sort_records_by_distance,
+    )
+
+    cap = ((int(counts.max()) + 127) // 128) * 128
 
     def full():
-        res = trace_sph(rays_s, sorted_spheres, tree, capacity=cap)
-        return np.array(res.indices)
+        rec = pallas_trace_sph_records(rays_s, sorted_spheres,
+                                       per_ray_capacity=cap, tile=64)
+        return float(jnp.sum(rec.counts))
 
-    # The full per-hit path still uses the XLA engine; shrink for feasibility.
+    t_full = timeit(full, iters)
+
+    def full_sorted():
+        rec = pallas_trace_sph_records(rays_s, sorted_spheres,
+                                       per_ray_capacity=cap, tile=64)
+        srt = sort_records_by_distance(rec)
+        return float(jnp.sum(srt.distances[:, 0]))
+
+    t_fs = timeit(full_sorted, iters)
+
+    # Flat-layout distance sort on a slice via the XLA engine, for parity
+    # with the reference's sgpu-backed sort_by_distance (sort.cuh:100-131).
     small = jax.tree.map(lambda x: x[: 8192], rays_s)
-    res_small = trace_sph(small, sorted_spheres, tree, capacity=cap)
+    res_small = trace_sph(small, sorted_spheres, tree,
+                          capacity=int(counts[:8192].sum()) + 1024)
 
     def dist_sort():
         out = sort_by_distance(res_small.distances, res_small.offsets,
@@ -95,9 +117,13 @@ def main():
     print(f"ray_gen_sort_ms: {t_gen:.2f}")
     print(f"hitcount_trace_ms: {t_hc:.2f}")
     print(f"cumulative_trace_ms: {t_cum:.2f}")
+    print(f"full_trace_ms: {t_full:.2f}")
+    print(f"full_trace_sorted_ms: {t_fs:.2f}")
+    print(f"full_sorted_over_cumulative: {t_fs / t_cum:.2f}")
     print(f"sort_by_distance_ms_8k_rays: {t_ds:.2f}")
     print(f"total_hits: {total}")
     print(f"rays_per_s_cumulative: {n_rays / (t_cum / 1e3):.3e}")
+    print(f"rays_per_s_full_sorted: {n_rays / (t_fs / 1e3):.3e}")
 
 
 if __name__ == "__main__":

@@ -85,7 +85,16 @@ def _records_tile_kernel(
     n_words = mask_ref.shape[2]
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, SEG), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, cap), 1)
+    n_chunks = cap // SEG
+
+    # Record rows live in the output VMEM blocks, updated by read-modify-
+    # write of STATIC 128-column chunks (never a dynamic store — broken on
+    # this hardware); the per-extraction scalar cursor window keeps the RMW
+    # to the 1-2 chunks the tile's cursors actually span, so the append cost
+    # is O(128 columns), independent of the ray capacity.
+    idx_ref[...] = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
+    intg_ref[...] = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
+    dist_ref[...] = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
 
     # Phase 1: decode this tile's bitmask words into a segment-id list
     # (identical to the bitmask cumulative kernel's scalar phase).
@@ -105,8 +114,7 @@ def _records_tile_kernel(
 
     # Phase 2: segment loop; per slab, drain the hit mask one hit per
     # extraction iteration, appending at the per-ray cursor.
-    def seg_body(k, state):
-        cur, rid, rint, rdst = state
+    def seg_body(k, cur):
         seg = seg_list[k]
         slab = prims_ref[seg]
         px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
@@ -125,7 +133,7 @@ def _records_tile_kernel(
         n_extract = jnp.max(jnp.sum(m0, axis=1))
 
         def extract(_, st):
-            m, cur, rid, rint, rdst = st
+            m, cur = st
             first = jnp.min(jnp.where(m > 0, lane, SEG), axis=1, keepdims=True)
             valid = first < SEG                              # (tile, 1)
             oh = lane == first                               # one lane when valid
@@ -133,28 +141,33 @@ def _records_tile_kernel(
             p_dst = pick(dot)
             p_int = pick(f)
             p_idx = seg * SEG + first
-            ohc = (col == cur) & valid                       # (tile, cap)
-            rid = jnp.where(ohc, p_idx, rid)
-            rint = jnp.where(ohc, p_int, rint)
-            rdst = jnp.where(ohc, p_dst, rdst)
+            # Scalar window of chunks any VALID ray's cursor lands in.
+            big = jnp.int32(cap + SEG)
+            cmin = jnp.min(jnp.where(valid, cur, big))
+            # Clamp so one overflowed ray (cursor >= cap, writes drop) does
+            # not force every chunk's RMW.
+            cmax = jnp.minimum(jnp.max(jnp.where(valid, cur, -1)),
+                               jnp.int32(cap - 1))
+            for j in range(n_chunks):
+                @pl.when((cmin < (j + 1) * SEG) & (cmax >= j * SEG))
+                def _(j=j):
+                    sl = slice(j * SEG, (j + 1) * SEG)
+                    colj = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile, SEG), 1) + j * SEG
+                    ohc = (colj == cur) & valid
+                    idx_ref[:, sl] = jnp.where(ohc, p_idx, idx_ref[:, sl])
+                    intg_ref[:, sl] = jnp.where(ohc, p_int, intg_ref[:, sl])
+                    dist_ref[:, sl] = jnp.where(ohc, p_dst, dist_ref[:, sl])
+
             cur = cur + valid.astype(jnp.int32)
             m = jnp.where(oh, 0, m)
-            return m, cur, rid, rint, rdst
+            return m, cur
 
-        _, cur, rid, rint, rdst = jax.lax.fori_loop(
-            0, n_extract, extract, (m0, cur, rid, rint, rdst))
-        return cur, rid, rint, rdst
+        _, cur = jax.lax.fori_loop(0, n_extract, extract, (m0, cur))
+        return cur
 
-    cur0 = jnp.zeros((tile, 1), jnp.int32)
-    rid0 = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
-    rint0 = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
-    rdst0 = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
-    cur, rid, rint, rdst = jax.lax.fori_loop(
-        0, n, seg_body, (cur0, rid0, rint0, rdst0))
+    cur = jax.lax.fori_loop(0, n, seg_body, jnp.zeros((tile, 1), jnp.int32))
     counts_ref[...] = cur
-    idx_ref[...] = rid
-    intg_ref[...] = rint
-    dist_ref[...] = rdst
 
 
 @functools.partial(
