@@ -100,7 +100,7 @@ def main(sharded: bool = False):
     assert check_trace, "fused trace kernel hitcount parity FAILED on device"
 
     # 2. splat image vs the fused trace kernel's cumulative values at full
-    #    scale (both approximate the same sums; gate well inside 5e-4 + 2.7e-4
+    #    scale (both approximate the same sums; gate well inside 5e-4 + fit
     #    combined fit tolerances).
     buckets = bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT, LENGTH,
                                  side, side, tile_w=32, tile_h=128, chunk=512)

@@ -87,10 +87,13 @@ def main():
         ov = overlap_mat(tmin, tmax, seg_min, seg_max)
         pos = jnp.cumsum(ov, axis=1, dtype=jnp.int32) - 1
         pos = jnp.where(ov, pos, mc)  # dropped
-        out = jnp.zeros((tmin.shape[0], mc + 1), jnp.int32)
+        # Sentinel init (S) + min-combine: a row with no overlaps stays all-S
+        # instead of masquerading as "first overlap is segment 0" (r1 advisor
+        # note); positions are unique per row so min == the written id.
+        out = jnp.full((tmin.shape[0], mc + 1), S, jnp.int32)
         ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], ov.shape)
-        out = out.at[jnp.arange(tmin.shape[0])[:, None], pos].max(
-            jnp.where(ov, ids, 0), mode="drop")
+        out = out.at[jnp.arange(tmin.shape[0])[:, None], pos].min(
+            jnp.where(ov, ids, S), mode="drop")
         return out[:, :mc], jnp.sum(ov, 1)
 
     t, _ = timeit(lambda: jax.block_until_ready(scatter_compact()))

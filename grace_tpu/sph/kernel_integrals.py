@@ -133,18 +133,20 @@ HORNER_DEG = 10
 _HORNER_C1, _HORNER_C2 = _fit_unified_horner(HORNER_DEG)
 
 
-def _fit_single_horner(deg: int = 12):
+def _fit_single_horner(deg: int = 14):
     """Monomial coefficients for the SINGLE-piece Horner evaluation.
 
     One fit of g(u) = F / v^{7/2} (v = 1 - u, u = beta^2) over the whole
     support u in [0, 1], in t = 2u - 1. Unlike the two-piece select-Horner
-    form this needs NO per-coefficient selects — at deg 12 that trades ~12
-    VPU select ops per evaluation for 2 extra FMAs, the difference between
-    ~50 and ~38 ops per (ray, prim) pair in the fused trace kernels. Max
-    |error| (f32 Horner) ~2.7e-4 relative: inside both the 5e-4 physics
-    tolerance (ref: tests/integrate/integrate.cu) and the 5e-4 engine-parity
-    test tolerance, and the equioscillating sign means the error nearly
-    cancels in per-ray sums.
+    form this needs NO per-coefficient selects — that trades ~12 VPU select
+    ops per evaluation for a few extra FMAs, the difference between ~50 and
+    ~38 ops per (ray, prim) pair in the fused trace kernels.
+
+    The least-squares fit is WEIGHTED by v^{7/2} so it minimizes error in F
+    itself rather than in the divergently-scaled g (r1 advisor note: the
+    unweighted deg-12 fit's ~1.4e-4 error consumed a third of the 5e-4
+    physics-tolerance budget). Measured max |F_fit - F| / max F at deg 14
+    weighted: ~2.1e-5 — 20x inside the 5e-4 gate.
     """
     u = np.concatenate(
         [np.linspace(0.0, 1.0, 6001)[:-1], 1.0 - np.geomspace(1e-7, 0.05, 500)]
@@ -153,11 +155,12 @@ def _fit_single_horner(deg: int = 12):
     f = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u])
     v = 1.0 - u
     t = 2.0 * u - 1.0
-    c = np.polynomial.chebyshev.Chebyshev.fit(t, f / v**3.5, deg, domain=[-1, 1])
+    c = np.polynomial.chebyshev.Chebyshev.fit(t, f / v**3.5, deg,
+                                              domain=[-1, 1], w=v**3.5)
     return np.asarray(c.convert(kind=np.polynomial.Polynomial).coef, np.float64)
 
 
-HORNER1_DEG = 12
+HORNER1_DEG = 14
 _HORNER1_C = _fit_single_horner(HORNER1_DEG)
 
 

@@ -105,7 +105,7 @@ def trace_sph(
     engine='pallas' routes through the fused single-pass record kernel
     (pallas_records.pallas_trace_sph_records) — per-ray hit lists are bounded
     by per_ray_capacity (multiple of 128) and the kernel's Horner-polynomial
-    integral replaces the table lerp (identical to ~2.7e-4; the Pallas
+    integral replaces the table lerp (identical to ~2e-5; the Pallas
     cumulative path uses the same form). Within-ray record order is
     ascending primitive index (the XLA engine emits traversal order; neither
     is a contract — sort_by_distance fixes the order downstream).
