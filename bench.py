@@ -21,6 +21,7 @@ look like a success — the checks force scalar fetches):
 Prints exactly one JSON line.
 """
 
+import functools
 import json
 import os
 import time
@@ -54,7 +55,12 @@ def make_clustered_particles(rng, n):
 
 def pipelined_ms(dispatch, n_iter=7, reps=3):
     """Dispatch n_iter calls back-to-back so the ~25 ms tunnel dispatch
-    latency overlaps device compute, then block on the last result."""
+    latency overlaps device compute, then block on the last result.
+
+    CAUTION: on the axon tunnel, repeated dispatch of one executable with
+    IDENTICAL args can be deduplicated client-side and report fantasy times;
+    use device_frame_ms (data-dependent chained frames) for kernel timing.
+    """
     import jax
 
     jax.block_until_ready(dispatch())
@@ -66,6 +72,37 @@ def pipelined_ms(dispatch, n_iter=7, reps=3):
         dt = (time.perf_counter() - t0) / n_iter
         best = dt if best is None else min(best, dt)
     return best * 1e3
+
+
+def device_frame_ms(body, k1=2, k2=18, reps=3):
+    """Pure device time per frame — the cudaEvent-equivalent measurement
+    (the reference's profilers time kernels with cudaEvents,
+    ref: helper/cuda_timer.cuh:5-59, excluding host dispatch).
+
+    ``body(i, acc) -> acc`` must make frame i+1 data-depend on frame i so
+    XLA cannot CSE the chain. K frames run inside ONE jit; the per-frame
+    time is the slope between two chain lengths, which cancels the ~25 ms
+    tunnel round trip and any per-dispatch client overhead exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # k is TRACED (fori_loop lowers to while) so both chain lengths share
+    # one compilation.
+    f = jax.jit(lambda k, x: jax.lax.fori_loop(0, k, body, x))
+    float(f(jnp.int32(k1), jnp.float32(0.0)))  # compile + fault check
+
+    def chain(k):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = float(f(jnp.int32(k), jnp.float32(0.0)))
+            dt = time.perf_counter() - t0
+            assert np.isfinite(v)
+            best = dt if best is None else min(best, dt)
+        return best
+
+    return (chain(k2) - chain(k1)) / (k2 - k1) * 1e3
 
 
 def main(sharded: bool = False):
@@ -144,17 +181,30 @@ def main(sharded: bool = False):
         }))
         return
 
-    # ---- timing ------------------------------------------------------------
-    def run_splat():
-        return splat_image(buckets, tile_w=32, tile_h=128)
+    # ---- timing (pure device time via data-dependent chained frames; see
+    # device_frame_ms — the reference times kernels with cudaEvents, i.e.
+    # device-side, and the axon tunnel dedups identical dispatches) ---------
+    def splat_body(i, acc):
+        bb = buckets._replace(xcols=buckets.xcols + acc * 1e-38)
+        im = splat_image(bb, tile_w=32, tile_h=128)
+        return acc + im[0, 0] * 1e-38 + 1.0
 
-    def run_trace():
-        v, _ = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=64,
+    def trace_body(i, acc):
+        from grace_tpu.core.types import Rays
+        rr = Rays(rays_s.origins, rays_s.directions,
+                  rays_s.lengths + acc * 1e-38)
+        v, _ = pallas_trace_sph(rr, sorted_spheres, tree, tile=64,
                                 broadphase="bitmask")
-        return v
+        return acc + v[0] * 1e-38 + 1.0
 
-    splat_ms = pipelined_ms(run_splat)
-    trace_ms = pipelined_ms(run_trace)
+    def bucket_body(i, acc):
+        bb = bucket_prims_ortho(sorted_spheres + acc * 1e-38, CAM, LOOK, UP,
+                                VEXT, LENGTH, side, side, tile_w=32,
+                                tile_h=128, chunk=512)
+        return acc + bb.slabs[0, 0, 0] * 1e-38 + 1.0
+
+    splat_ms = device_frame_ms(splat_body)
+    trace_ms = device_frame_ms(trace_body, k1=2, k2=8)
 
     # Differentiable train step (fused Pallas forward AND backward,
     # trace/pallas_render.py): render -> L2 loss vs target -> particle +
@@ -178,15 +228,16 @@ def main(sharded: bool = False):
 
     s1, w1, loss1 = train_step(sorted_spheres, weights)
     assert np.isfinite(float(loss1)) and bool(jnp.all(jnp.isfinite(s1)))
-    train_ms = pipelined_ms(
-        lambda: train_step(sorted_spheres, weights)[2], n_iter=3)
-    bucket_ms = pipelined_ms(
-        lambda: bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT,
-                                   LENGTH, side, side, tile_w=32, tile_h=128,
-                                   chunk=512).slabs)
+
+    def train_body(i, acc):
+        _, _, loss = train_step(sorted_spheres + acc * 1e-38, weights)
+        return acc + loss * 1e-38 + 1.0
+
+    train_ms = device_frame_ms(train_body, k1=1, k2=4)
+    bucket_ms = device_frame_ms(bucket_body, k1=2, k2=8)
 
     # final fault check: scalar-fetch a fresh frame
-    total = float(jnp.sum(run_splat()))
+    total = float(jnp.sum(splat_image(buckets, tile_w=32, tile_h=128)))
     assert np.isfinite(total) and total > 0
 
     rays_per_s = N_RAYS / (splat_ms / 1e3)

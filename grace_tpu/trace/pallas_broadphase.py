@@ -95,25 +95,51 @@ def pack_overlap_bits(overlap: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "seg_block"))
 def dense_tile_masks(
     rays: Rays,
     spheres: jax.Array,
     tile: int,
+    seg_block: int = 8192,
 ) -> jax.Array:
     """Bitmask broadphase: i32[n_tiles, ceil(n_segs/32)] overlap words.
 
     Same dense AABB test as ``dense_tile_segments`` but without the per-row
     compaction sort; cannot overflow (every overlapped segment is always
-    representable)."""
+    representable). Large scenes never materialize the full
+    [n_tiles, n_segs] bool matrix: segments are processed in blocks of
+    ``seg_block`` and packed to bits immediately, bounding the intermediate
+    at n_tiles x seg_block bools (the r1 review's broadphase scaling cliff —
+    a 2k-image x 4M-particle scene is 2.1e9 dense bools but only 268 MB of
+    packed words)."""
     tmin, tmax = tile_aabbs(rays, tile)
     seg_min, seg_max = segment_aabbs(spheres)
-    overlap = (
-        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
-        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
-        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
-    )
-    return pack_overlap_bits(overlap)
+
+    def block_words(args):
+        s_min, s_max = args
+        overlap = (
+            (tmin[:, 0:1] <= s_max[:, 0]) & (s_min[:, 0] <= tmax[:, 0:1])
+            & (tmin[:, 1:2] <= s_max[:, 1]) & (s_min[:, 1] <= tmax[:, 1:2])
+            & (tmin[:, 2:3] <= s_max[:, 2]) & (s_min[:, 2] <= tmax[:, 2:3])
+        )
+        return pack_overlap_bits(overlap)
+
+    n_segs = seg_min.shape[0]
+    if n_segs <= seg_block:
+        return block_words((seg_min, seg_max))
+    blk = seg_block
+    assert blk % 32 == 0
+    pad = (-n_segs) % blk
+    # Padded segments are empty (min=+inf > max=-inf): never overlap.
+    big = jnp.finfo(jnp.float32).max
+    s_min = jnp.concatenate([seg_min, jnp.full((pad, 3), big)], 0)
+    s_max = jnp.concatenate([seg_max, jnp.full((pad, 3), -big)], 0)
+    words = jax.lax.map(
+        block_words,
+        (s_min.reshape(-1, blk, 3), s_max.reshape(-1, blk, 3)),
+    )  # [n_blocks, n_tiles, blk/32]
+    words = jnp.transpose(words, (1, 0, 2)).reshape(tmin.shape[0], -1)
+    return words[:, : (n_segs + 31) // 32]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "max_chunks"))

@@ -325,6 +325,67 @@ def _trace_tile_kernel_bitmask(
     out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
+def _trace_tile_kernel_bitmask_stream(
+    mask_ref,       # SMEM (1, 1, n_words) i32
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # HBM (8, N_pad) component-major
+    out_ref,        # VMEM (TILE, 1)
+    seg_list,       # SMEM scratch (n_words*32,) i32
+    pbuf,           # VMEM scratch (NBUF, 8, SEG)
+    sem,            # DMA sems (NBUF,)
+    *,
+    mode: str,
+):
+    """Bitmask broadphase + streaming DMA: the large-scene variant (r1
+    review: the fast path must not require VMEM-resident particles). Phase 1
+    decodes the tile's overlap words into an SMEM segment list (identical to
+    the resident bitmask kernel); phase 2 is the double-buffered HBM->VMEM
+    slab pipeline of the streaming kernel, fetching only listed segments."""
+    tile = rays_ref.shape[0]
+    n_words = mask_ref.shape[2]
+    nbuf = pbuf.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+
+    def word_body(w, n):
+        word0 = mask_ref[0, 0, w]
+
+        def emit(state):
+            word, n = state
+            for s in range(32):
+                seg_list[n] = w * 32 + s
+                n = n + ((word >> s) & 1)
+            return n
+
+        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
+
+    n = jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
+
+    def dma(slot, k):
+        seg = seg_list[k]
+        return pltpu.make_async_copy(
+            prims_ref.at[:, pl.ds(seg * SEG, SEG)], pbuf.at[slot], sem.at[slot]
+        )
+
+    for w in range(nbuf):
+        @pl.when(w < n)
+        def _(w=w):
+            dma(w, w).start()
+
+    def body(k, acc):
+        slot = jax.lax.rem(k, nbuf)
+        dma(slot, k).wait()
+        acc = _seg_compute(pbuf[slot], ox, oy, oz, dx, dy, dz, ln, acc, mode)
+
+        @pl.when(k + nbuf < n)
+        def _():
+            dma(slot, k + nbuf).start()
+
+        return acc
+
+    acc = jax.lax.fori_loop(0, n, body, jnp.zeros((tile, SEG), jnp.float32))
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+
 def _trace_tile_kernel_subtiled(
     n_segs_ref,     # SMEM (1, 1, S)
     segs_ref,       # SMEM (1, S, max_chunks)
@@ -418,32 +479,46 @@ def pallas_trace_sph(
     packed_bm, r_pad_bm = _pack_rays(rays, tile)
     prims_bm, n_prim_pad_bm = _pack_prims(spheres)
     resident_bm = (n_prim_pad_bm // SEG) * 8 * SEG * 4 <= vmem_resident_limit
-    if broadphase == "bitmask" or (broadphase == "dense" and resident_bm
-                                   and subtiles == 1):
+    if broadphase == "bitmask" or (broadphase == "dense" and subtiles == 1):
         # Default fast path: bitmask broadphase (no compaction sort, no
-        # overflow) + set-bit-iterating resident kernel.
+        # overflow) + set-bit-iterating kernel — VMEM-resident slabs when
+        # the particle set fits, streaming HBM DMA otherwise (r1 review:
+        # the fast path must not require residency).
         from grace_tpu.trace.pallas_broadphase import dense_tile_masks
 
-        if not resident_bm:
-            raise ValueError("bitmask broadphase requires the VMEM-resident regime")
         masks = dense_tile_masks(rays, spheres, tile)
         n_tiles = r_pad_bm // tile
-        prims3d = prims_bm.reshape(8, n_prim_pad_bm // SEG, SEG).transpose(1, 0, 2)
-        out = pl.pallas_call(
-            functools.partial(_trace_tile_kernel_bitmask, mode=mode,
-                              unroll=unroll),
-            out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
-            interpret=interpret,
-        )(masks[:, None, :], packed_bm, prims3d)
+        common_specs = [
+            pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        if resident_bm:
+            prims3d = prims_bm.reshape(8, n_prim_pad_bm // SEG, SEG).transpose(1, 0, 2)
+            out = pl.pallas_call(
+                functools.partial(_trace_tile_kernel_bitmask, mode=mode,
+                                  unroll=unroll),
+                out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+                grid=(n_tiles,),
+                in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
+                interpret=interpret,
+            )(masks[:, None, :], packed_bm, prims3d)
+        else:
+            out = pl.pallas_call(
+                functools.partial(_trace_tile_kernel_bitmask_stream, mode=mode),
+                out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+                grid=(n_tiles,),
+                in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],
+                out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.SMEM((masks.shape[1] * 32,), jnp.int32),
+                    pltpu.VMEM((4, 8, SEG), jnp.float32),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+                interpret=interpret,
+            )(masks[:, None, :], packed_bm, prims_bm)
         values = out[:n_rays, 0]
         if mode == "hitcount":
             values = values.astype(jnp.int32)
