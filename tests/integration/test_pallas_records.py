@@ -62,8 +62,14 @@ def test_records_match_xla_engine(rng):
         o1 = np.argsort(ri[k, :c])
         o2 = np.argsort(fi[off[k]:off[k] + c])
         np.testing.assert_array_equal(ri[k, :c][o1], fi[off[k]:off[k] + c][o2])
-        np.testing.assert_allclose(
-            rg[k, :c][o1], fg[off[k]:off[k] + c][o2], rtol=2e-3, atol=1e-5)
+        # The Horner fit bounds ABSOLUTE error in F (times the 1/h^2 scale
+        # of each record); grazing hits have tiny F with large relative
+        # error by design, so the tolerance is absolute at the segment's
+        # magnitude scale plus a loose rtol.
+        seg_ref = fg[off[k]:off[k] + c][o2]
+        atol = 1e-4 * (1.0 + np.abs(seg_ref).max(initial=0.0))
+        np.testing.assert_allclose(rg[k, :c][o1], seg_ref, rtol=2e-3,
+                                   atol=atol)
         np.testing.assert_allclose(
             rd[k, :c][o1], fd[off[k]:off[k] + c][o2], rtol=1e-5, atol=1e-6)
         # sentinel fill past the count
