@@ -268,31 +268,48 @@ def _fused_backward(rays, spheres, weights, g, max_tiles, interpret):
     )(n_tiles[:, None, None], tile_ids[:, None, :], prims_sub, rays_packed)
 
     flat = grad.reshape(n_pad, 8)[: spheres.shape[0]]
-    return flat[:, :4], flat[:, 4]
+    return flat[:, :4], flat[:, 4], jnp.any(overflow)
 
 
 
 def make_fused_renderer(tile: int = 128, max_chunks: int = 2048,
                         max_tiles_per_seg: int = 1024,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        return_overflow: bool = False):
     """A custom-vjp column-density renderer: fused Pallas forward AND
     backward. Returns render(rays, spheres, weights) -> f32[R]; gradients
-    flow to spheres (positions + h) and weights."""
+    flow to spheres (positions + h) and weights.
+
+    Overflow discipline (the capacity-bounded kernels can truncate):
+      * forward: with ``return_overflow=True`` render returns
+        (values, overflow bool[]) — callers funnel the flag through
+        ``errors.check_overflow`` like every other capacity-bounded path.
+      * backward: a segment overlapping more than ``max_tiles_per_seg`` ray
+        tiles would silently lose gradient contributions, so the backward
+        POISONS the gradients with NaN instead (loud, optimizer-visible,
+        and testable) — raise ``max_tiles_per_seg`` to clear it.
+    """
 
     @jax.custom_vjp
     def render(rays: Rays, spheres, weights):
-        img, _, _ = _fused_forward(rays, spheres, weights, tile, max_chunks, interpret)
+        img, _, overflow = _fused_forward(
+            rays, spheres, weights, tile, max_chunks, interpret)
+        if return_overflow:
+            return img, jnp.any(overflow)
         return img
 
     def fwd(rays, spheres, weights):
-        img, _, overflow = _fused_forward(
-            rays, spheres, weights, tile, max_chunks, interpret)
-        return img, (rays, spheres, weights)
+        out = render(rays, spheres, weights)
+        return out, (rays, spheres, weights)
 
     def bwd(res, g):
         rays, spheres, weights = res
-        gs, gw = _fused_backward(
-            rays, spheres, weights, g, max_tiles_per_seg, interpret)
+        g_img = g[0] if return_overflow else g
+        gs, gw, bwd_overflow = _fused_backward(
+            rays, spheres, weights, g_img, max_tiles_per_seg, interpret)
+        poison = jnp.where(bwd_overflow, jnp.float32(jnp.nan), jnp.float32(0))
+        gs = gs + poison
+        gw = gw + poison
         zero_rays = jax.tree_util.tree_map(jnp.zeros_like, rays)
         return (zero_rays, gs, gw)
 

@@ -36,6 +36,8 @@ def promote_to_vma(tree, axes: frozenset):
 
     def promote(x):
         missing = tuple(sorted(axes - _leaf_vma(x)))
-        return jax.lax.pvary(x, missing) if missing else x
+        if not missing:
+            return x
+        return jax.lax.pcast(x, missing, to="varying")
 
     return jax.tree_util.tree_map(promote, tree)
