@@ -54,15 +54,21 @@ from grace_tpu.sph.kernel_integrals import (
 
 
 class SplatBuckets(NamedTuple):
+    """Bucketed instance layout. Ranges are per KEY = (row-tile, column band):
+    each tile_w x tile_h pixel tile is split into ``n_bands`` lane bands of
+    ``tile_h / n_bands`` columns, and instances are sorted by band so the
+    kernel only builds B factors over the lanes a footprint can actually
+    touch (n_bands == 1 degenerates to whole-tile bucketing)."""
+
     slabs: jax.Array      # f32[n_slabs_cap, 8, P]: rows 0-3 (4-7) = pu, pv,
     #                       invh, scale of instance chunk 2s (2s+1)
-    slab_lo: jax.Array    # i32[n_tiles] first slab overlapping each tile's range
-    n_slabs: jax.Array    # i32[n_tiles]
-    first: jax.Array      # i32[n_tiles] global instance range [first, last)
-    last: jax.Array       # i32[n_tiles]
+    slab_lo: jax.Array    # i32[n_keys] first slab overlapping each band's range
+    n_slabs: jax.Array    # i32[n_keys]
+    first: jax.Array      # i32[n_keys] global instance range [first, last)
+    last: jax.Array       # i32[n_keys]
     xcols: jax.Array      # f32[W, 1] pixel-center coordinate along the right axis
     yrows: jax.Array      # f32[H, 1] pixel-center coordinate along the up axis
-    overflow: jax.Array   # bool[] — some particle footprint exceeded a tile span
+    overflow: jax.Array   # bool[] — some particle footprint exceeded a band span
 
 
 def _camera_frame(camera_position, look_at, view_up):
@@ -75,7 +81,8 @@ def _camera_frame(camera_position, look_at, view_up):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution_x", "resolution_y", "tile_w", "tile_h", "chunk"),
+    static_argnames=("resolution_x", "resolution_y", "tile_w", "tile_h",
+                     "chunk", "band"),
 )
 def bucket_prims_ortho(
     spheres: jax.Array,
@@ -90,20 +97,29 @@ def bucket_prims_ortho(
     tile_h: int = 128,
     chunk: int = 512,
     weights: jax.Array | None = None,
+    band: int | None = None,
 ) -> SplatBuckets:
     """Per-(scene, camera) prep: project, cull by depth, bucket by pixel
     tile. Camera conventions match rays.gen.orthographic_projection_rays
     exactly (pixel (j, i) = ray j*W + i; ref: kernels/gen_rays.cuh:666-725).
 
     tile_w: image ROWS per tile (output sublanes), tile_h: image COLUMNS
-    per tile (output lanes). Footprints are expanded to at most a 2x2 tile
-    neighborhood; a particle with 2h exceeding a tile span sets the
-    overflow flag (render with larger tiles or trace such scenes with the
-    general kernel).
+    per tile (output lanes). ``band`` (default tile_h) sub-buckets each tile
+    into tile_h/band column bands — the dominant splat cost is the VPU
+    factor build over (tile_w + B) pixel offsets per instance while a
+    footprint only spans ~2h/dx of them, so narrower bands cut frame time
+    near-linearly until instance duplication bites (band=32 with tile_w=16
+    measures ~2x over whole-tile bucketing at bench scale). Footprints are
+    expanded to at most a 2x2 (row-tile x band) neighborhood; a particle
+    with 2h exceeding a band (or row) span sets the overflow flag (render
+    with larger tiles/bands or trace such scenes with the general kernel).
     """
     w_res, h_res = resolution_x, resolution_y
-    if w_res % tile_h or h_res % tile_w:
-        raise ValueError("resolution must be a multiple of the tile shape")
+    if band is None:
+        band = tile_h
+    if w_res % tile_h or h_res % tile_w or tile_h % band:
+        raise ValueError("resolution must be a multiple of the tile shape "
+                         "and band must divide tile_h")
     n = spheres.shape[0]
     view_dir, v, u = _camera_frame(camera_position, look_at, view_up)
     cam = jnp.asarray(camera_position, jnp.float32)
@@ -134,33 +150,37 @@ def bucket_prims_ortho(
     live = (h > 0) & (depth >= 0.0) & (depth < length)
     scale = jnp.where(live, w_p, 0.0)
 
-    # Tile span of each footprint (clamped to a 2x2 neighborhood; flag if
-    # a footprint needs more).
+    # Band span of each footprint (clamped to a 2x2 row-tile x band
+    # neighborhood; flag if a footprint needs more).
     ntx = w_res // tile_h
     nty = h_res // tile_w
-    ct_lo = jnp.floor((pu - h - (xcols[0] - 0.5 * dx)) / (dx * tile_h)).astype(jnp.int32)
-    ct_hi = jnp.floor((pu + h - (xcols[0] - 0.5 * dx)) / (dx * tile_h)).astype(jnp.int32)
+    n_bands = tile_h // band
+    nbx = ntx * n_bands                 # column bands across the image
+    cb_lo = jnp.floor((pu - h - (xcols[0] - 0.5 * dx)) / (dx * band)).astype(jnp.int32)
+    cb_hi = jnp.floor((pu + h - (xcols[0] - 0.5 * dx)) / (dx * band)).astype(jnp.int32)
     # yrows descend: row index grows as the coordinate falls.
     rt_lo = jnp.floor(((pv + h) - (yrows[0] - 0.5 * dyr)) / (dyr * tile_w)).astype(jnp.int32)
     rt_hi = jnp.floor(((pv - h) - (yrows[0] - 0.5 * dyr)) / (dyr * tile_w)).astype(jnp.int32)
-    overflow = jnp.any(live & ((ct_hi - ct_lo > 1) | (rt_hi - rt_lo > 1)))
-    ct_hi = jnp.minimum(ct_hi, ct_lo + 1)
+    overflow = jnp.any(live & ((cb_hi - cb_lo > 1) | (rt_hi - rt_lo > 1)))
+    cb_hi = jnp.minimum(cb_hi, cb_lo + 1)
     rt_hi = jnp.minimum(rt_hi, rt_lo + 1)
 
-    # 4 instances per particle: the (up to) 2x2 touched tiles; duplicates /
-    # out-of-image / dead particles get the sentinel tile and sort to the end.
-    n_tiles = ntx * nty
+    # 4 instances per particle: the (up to) 2x2 touched (row, band) keys;
+    # duplicates / out-of-image / dead particles get the sentinel key and
+    # sort to the end. Keys are row-major over bands, so the n_bands keys
+    # of one tile are CONTIGUOUS: key = rt * nbx + tile_c * n_bands + b.
+    n_keys = nbx * nty
     insts = []
     for rr in range(2):
         for cc in range(2):
-            ct = ct_lo + cc
+            cb = cb_lo + cc
             rt = rt_lo + rr
             ok = (
-                (ct <= ct_hi) & (rt <= rt_hi)
-                & (ct >= 0) & (ct < ntx) & (rt >= 0) & (rt < nty)
+                (cb <= cb_hi) & (rt <= rt_hi)
+                & (cb >= 0) & (cb < nbx) & (rt >= 0) & (rt < nty)
                 & (scale > 0)
             )
-            insts.append(jnp.where(ok, rt * ntx + ct, n_tiles))
+            insts.append(jnp.where(ok, rt * nbx + cb, n_keys))
     tile_ids = jnp.concatenate(insts)                       # [4n]
     invh = jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-30), 0.0)
 
@@ -174,13 +194,13 @@ def bucket_prims_ortho(
         num_keys=1,
     )
 
-    # Per-tile instance ranges [first, last) by a broadcast count reduction
-    # (the kernel masks by GLOBAL instance index, so no chunk-alignment
-    # padding / compaction pass is needed at all: a tile's first and last
+    # Per-key instance ranges [first, last) by binary search in the sorted
+    # keys (the kernel masks by GLOBAL instance index, so no chunk-alignment
+    # padding / compaction pass is needed at all: a band's first and last
     # slabs may share instances with its neighbors, and the mask zeroes the
     # foreign ones).
-    first = jnp.sum(key_s[None, :] < jnp.arange(n_tiles + 1)[:, None],
-                    axis=1).astype(jnp.int32)
+    first = jnp.searchsorted(key_s, jnp.arange(n_keys + 1),
+                             side="left").astype(jnp.int32)
     last = first[1:]
     first = first[:-1]
 
@@ -214,12 +234,12 @@ def _factor(t, coeffs, deg):
 
 
 def _splat_kernel(
-    meta_ref,     # SMEM (1, 1, 4) i32: [slab_lo, n_slabs, first, last]
+    meta_ref,     # SMEM (1, n_bands, 4) i32: [slab_lo, n_slabs, first, last]
     x_ref,        # VMEM (TH, 1) pixel x coords of this tile's columns
     y_ref,        # VMEM (TW, 1) pixel y coords of this tile's rows
     slab_hbm,     # HBM (cap_slabs, 8, P) — 2 instance chunks per slab
     out_ref,      # VMEM (TW, TH)
-    buf,          # VMEM scratch (NBUF, 8, P)
+    buf,          # VMEM scratch (n_bands * NBUF, 8, P)
     sem,
     *,
     rank: int,
@@ -228,63 +248,77 @@ def _splat_kernel(
     b_coeffs: np.ndarray,
     matmul_dtype,
 ):
-    nbuf = buf.shape[0]
-    slab_lo = meta_ref[0, 0, 0]
-    n = meta_ref[0, 0, 1]
-    first = meta_ref[0, 0, 2]
-    last = meta_ref[0, 0, 3]
+    n_bands = meta_ref.shape[1]
+    nbuf = buf.shape[0] // n_bands
     chunk = buf.shape[2]
-    xs = x_ref[...]            # (TH, 1)
+    tw, th = out_ref.shape
+    bw = th // n_bands
     ys = y_ref[...]            # (TW, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     dn = (((1,), (1,)), ((), ()))   # contract the P dim of both factors
 
-    def dma(slot, s):
+    def dma(b, slot, s):
         return pltpu.make_async_copy(
-            slab_hbm.at[slab_lo + s], buf.at[slot], sem.at[slot])
+            slab_hbm.at[meta_ref[0, b, 0] + s],
+            buf.at[b * nbuf + slot], sem.at[b * nbuf + slot])
 
-    for w in range(nbuf):
-        @pl.when(w < n)
-        def _(w=w):
-            dma(w, w).start()
+    # Warm up EVERY band's pipeline before any compute: per-band slab counts
+    # are small (a few), so this usually prefetches the whole program's
+    # traffic and the per-band loops below never stall on HBM latency.
+    for b in range(n_bands):
+        for w in range(nbuf):
+            @pl.when(w < meta_ref[0, b, 1])
+            def _(b=b, w=w):
+                dma(b, w, w).start()
 
-    def body(s, acc):
-        slot = jax.lax.rem(s, nbuf)
-        dma(slot, s).wait()
-        blk = buf[slot]                       # (8, P): chunks 2s (rows 0-3), 2s+1
+    accs = []
+    for b in range(n_bands):
+        slab_lo = meta_ref[0, b, 0]
+        n = meta_ref[0, b, 1]
+        first = meta_ref[0, b, 2]
+        last = meta_ref[0, b, 3]
+        xs = x_ref[b * bw:(b + 1) * bw]       # (BW, 1) static lane-band slice
 
-        @pl.when(s + nbuf < n)
-        def _():
-            dma(slot, s + nbuf).start()
+        def body(s, acc, b=b, slab_lo=slab_lo, n=n, first=first, last=last,
+                 xs=xs):
+            slot = jax.lax.rem(s, nbuf)
+            dma(b, slot, s).wait()
+            blk = buf[b * nbuf + slot]        # (8, P): chunks 2s, 2s+1
 
-        for half in range(2):
-            pu = blk[4 * half + 0:4 * half + 1, :]
-            pv = blk[4 * half + 1:4 * half + 2, :]
-            invh = blk[4 * half + 2:4 * half + 3, :]
-            scl = blk[4 * half + 3:4 * half + 4, :]
-            # A tile's slab range is not instance-aligned: its first/last
-            # slab can carry neighbor tiles' instances. Mask by the global
-            # instance index (this replaces any chunk-alignment padding in
-            # the bucket layout).
-            gidx = ((slab_lo + s) * 2 + half) * chunk + lane
-            scl = scl * ((gidx >= first) & (gidx < last)).astype(jnp.float32)
+            @pl.when(s + nbuf < n)
+            def _():
+                dma(b, slot, s + nbuf).start()
 
-            ya = (ys - pv) * invh                 # (TW, P)
-            a_f = _factor(jnp.minimum(ya * ya, 1.0), a_coeffs, deg)
-            xb = (xs - pu) * invh                 # (TH, P)
-            b_f = _factor(jnp.minimum(xb * xb, 1.0), b_coeffs, deg)
+            for half in range(2):
+                pu = blk[4 * half + 0:4 * half + 1, :]
+                pv = blk[4 * half + 1:4 * half + 2, :]
+                invh = blk[4 * half + 2:4 * half + 3, :]
+                scl = blk[4 * half + 3:4 * half + 4, :]
+                # A band's slab range is not instance-aligned: its first/last
+                # slab can carry neighbor bands' instances. Mask by the global
+                # instance index (this replaces any chunk-alignment padding in
+                # the bucket layout).
+                gidx = ((slab_lo + s) * 2 + half) * chunk + lane
+                scl = scl * ((gidx >= first) & (gidx < last)).astype(jnp.float32)
 
-            for k_r in range(rank):
-                acc = acc + jax.lax.dot_general(
-                    a_f[k_r].astype(matmul_dtype),
-                    (b_f[k_r] * scl).astype(matmul_dtype),
-                    dn,
-                    preferred_element_type=jnp.float32,
-                )
-        return acc
+                ya = (ys - pv) * invh                 # (TW, P)
+                a_f = _factor(jnp.minimum(ya * ya, 1.0), a_coeffs, deg)
+                xb = (xs - pu) * invh                 # (BW, P)
+                b_f = _factor(jnp.minimum(xb * xb, 1.0), b_coeffs, deg)
 
-    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)
+                for k_r in range(rank):
+                    acc = acc + jax.lax.dot_general(
+                        a_f[k_r].astype(matmul_dtype),
+                        (b_f[k_r] * scl).astype(matmul_dtype),
+                        dn,
+                        preferred_element_type=jnp.float32,
+                    )
+            return acc
+
+        acc0 = jnp.zeros((tw, bw), jnp.float32)
+        accs.append(jax.lax.fori_loop(0, n, body, acc0))
+
+    out_ref[...] = accs[0] if n_bands == 1 else jnp.concatenate(accs, axis=1)
 
 
 @functools.partial(
@@ -305,9 +339,10 @@ def splat_image(
     ntx = w_res // tile_h
     nty = h_res // tile_w
     chunk = buckets.slabs.shape[2]
+    n_bands = buckets.first.shape[0] // (ntx * nty)
     meta = jnp.stack(
         [buckets.slab_lo, buckets.n_slabs, buckets.first, buckets.last], axis=1)
-    meta = meta.reshape(ntx * nty, 1, 4)
+    meta = meta.reshape(ntx * nty, n_bands, 4)
 
     kernel = functools.partial(
         _splat_kernel,
@@ -322,7 +357,8 @@ def splat_image(
         out_shape=jax.ShapeDtypeStruct((h_res, w_res), jnp.float32),
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((1, 1, 4), lambda j, i, ntx=ntx: (j * ntx + i, 0, 0),
+            pl.BlockSpec((1, n_bands, 4),
+                         lambda j, i, ntx=ntx: (j * ntx + i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_h, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_w, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -331,8 +367,8 @@ def splat_image(
         out_specs=pl.BlockSpec((tile_w, tile_h), lambda j, i: (j, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((n_bands * nbuf, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_bands * nbuf,)),
         ],
         interpret=interpret,
     )(meta, buckets.xcols, buckets.yrows, buckets.slabs)
@@ -353,6 +389,7 @@ def render_ortho_splat(
     chunk: int = 512,
     interpret: bool = False,
     matmul_dtype=jnp.float32,
+    band: int | None = None,
 ):
     """One-call orthographic column-density render.
 
@@ -364,7 +401,7 @@ def render_ortho_splat(
     buckets = bucket_prims_ortho(
         spheres, camera_position, look_at, view_up, vertical_extent, length,
         resolution_x, resolution_y, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
-        weights=weights,
+        weights=weights, band=band,
     )
     img = splat_image(buckets, tile_w=tile_w, tile_h=tile_h,
                       interpret=interpret, matmul_dtype=matmul_dtype)

@@ -120,3 +120,33 @@ def test_splat_overflow_flag(rng):
     buckets = bucket_prims_ortho(spheres, CAM, LOOK, UP, 2.0, 6.0, 128, 128,
                                  tile_w=32, tile_h=128, chunk=256)
     assert bool(buckets.overflow)
+
+
+def test_splat_banded_matches_unbanded(rng):
+    """Column-banded bucketing (band < tile_h) is a pure layout optimization:
+    images match the whole-tile path to f32 rounding, and the engine oracle
+    to the fit tolerance."""
+    ss, tree, _ = _scene(rng)
+    W = H = 128
+    rays = orthographic_projection_rays(W, H, CAM, LOOK, UP, 2.0, 6.0)
+    ref = np.array(trace_cumulative_sph(rays, ss, tree)).reshape(H, W)
+    img0, ovf0 = render_ortho_splat(ss, CAM, LOOK, UP, 2.0, 6.0, W, H,
+                                    tile_w=32, tile_h=128, chunk=256,
+                                    interpret=True)
+    img, ovf = render_ortho_splat(ss, CAM, LOOK, UP, 2.0, 6.0, W, H,
+                                  tile_w=16, tile_h=128, chunk=128,
+                                  band=32, interpret=True)
+    assert not bool(ovf0) and not bool(ovf)
+    img, img0 = np.array(img), np.array(img0)
+    assert np.abs(img - img0).max() < 1e-6 * img0.max()
+    assert np.abs(img - ref).max() < 4e-4 * ref.max()
+
+
+def test_splat_banded_overflow_flag(rng):
+    """A footprint wider than a band span flags overflow at band granularity."""
+    spheres = make_spheres(np.array([[0.5, 0.5, 0.5]], np.float32),
+                           np.array([0.9], np.float32))
+    _, ovf = render_ortho_splat(spheres, CAM, LOOK, UP, 2.0, 6.0, 128, 128,
+                                tile_w=64, tile_h=128, chunk=128, band=32,
+                                interpret=True)
+    assert bool(ovf)
