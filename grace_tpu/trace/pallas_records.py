@@ -12,12 +12,16 @@ re-designs record emission around what the VPU does have:
     offsets materializes here as a rectangular matrix, and the downstream
     ``sort_by_distance`` becomes a *batched lane-axis sort* (one lax.sort
     along axis=1) instead of a global segmented sort.
-  * the kernel emits hits with a branch-free "extract first set lane"
-    loop: per primitive slab, the (tile, 128) hit mask is drained one hit
-    per iteration — cross-lane min finds the first hit lane, a one-hot
-    select reads its payload, and a second one-hot select APPENDS it at the
-    per-ray cursor column of the record rows held in registers/VMEM. No
-    dynamic stores anywhere; every op is a full-shape vector op. Cost is
+  * the kernel emits hits with a branch-free RANK drain: per primitive
+    slab, an exclusive lane-prefix count of the hit mask assigns each hit
+    its within-slab rank once (7 shift-adds), and drain iteration i selects
+    the rank-i hit of every ray by a one-hot (rank == i) mask — a true
+    one-hot, so every payload pick is a plain masked lane sum and appends
+    land at cursor + i. Unlike a find-first-set drain (the r2 design),
+    iterations share NO serial state: the picks of all ranks pipeline
+    freely, and the scalar cursor-window bounds hoist to one computation
+    per slab instead of three scalar reduces per extracted hit. No dynamic
+    stores anywhere; every op is a full-shape vector op. Cost is
     proportional to max-hits-per-slab over the tile's rays, which ray
     coherence (spatial ray sort) keeps near the mean.
   * ONE pass total: the cursor doubles as the hitcount, so the reference's
@@ -26,7 +30,10 @@ re-designs record emission around what the VPU does have:
 
 Broadphase: same bitmask cull as the fast cumulative kernel
 (pallas_broadphase.dense_tile_masks) with the set-bit -> SMEM seg-list
-decode; requires the VMEM-resident primitive regime (~3M particles).
+decode. Primitive slabs are VMEM-resident when the particle set fits the
+VMEM budget (~3M particles) and stream from HBM through a double-buffered
+DMA pipeline otherwise (the bitmask-stream pattern of pallas_kernel.py) —
+per-hit tracing works at any scene size, like the reference's trace_sph.
 """
 
 from __future__ import annotations
@@ -69,6 +76,97 @@ class RecordTraceResult(NamedTuple):
         return self.counts > self.indices.shape[1]
 
 
+def _decode_seg_list(mask_ref, seg_list, n_words):
+    """Bitmask words -> SMEM segment-id list (the bitmask kernels' scalar
+    phase: write the candidate unconditionally, advance the cursor only when
+    the bit is set)."""
+
+    def word_body(w, n):
+        word0 = mask_ref[0, 0, w]
+
+        def emit(state):
+            word, n = state
+            for s in range(32):
+                seg_list[n] = w * 32 + s
+                n = n + ((word >> s) & 1)
+            return n
+
+        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
+
+    return jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
+
+
+def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap):
+    """Intersect one (8, SEG) slab and append every hit to the record rows.
+
+    Returns the updated cursor. See module docstring: hits are drained by
+    within-slab RANK (exclusive lane-prefix count of the hit mask), so each
+    drain iteration is a true one-hot select with no serial state."""
+    idx_ref, intg_ref, dist_ref = refs
+    ox, oy, oz, dx, dy, dz, ln = rays_cols
+    tile = ox.shape[0]
+    n_chunks = cap // SEG
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, SEG), 1)
+
+    px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+    inv_h2, h2 = slab[4:5, :], slab[5:6, :]
+
+    rx, ry, rz = px - ox, py - oy, pz - oz
+    dot = rx * dx + ry * dy + rz * dz
+    bx = rx - dot * dx
+    by = ry - dot * dy
+    bz = rz - dot * dz
+    b2 = bx * bx + by * by + bz * bz
+    hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+    f = cubic_spline_line_integral_horner1(b2 * inv_h2) * inv_h2
+
+    # Exclusive within-slab rank of each hit (Hillis-Steele lane prefix,
+    # log2(SEG) shifted adds; static-slice shifts, no gathers).
+    m = hit.astype(jnp.int32)
+    inc = m
+    shift = 1
+    while shift < SEG:
+        inc = inc + jnp.concatenate(
+            [jnp.zeros((tile, shift), jnp.int32), inc[:, :-shift]], axis=1)
+        shift *= 2
+    rank = inc - m                               # exclusive prefix
+    m_cnt = inc[:, SEG - 1:SEG]                  # per-ray hits (last column)
+    n_extract = jnp.max(m_cnt)
+
+    # Scalar chunk window, hoisted ONCE per slab: iteration i appends at
+    # cur + i, so chunks [cmin + i, cmax + i] are the only ones any valid
+    # ray touches (clamped so overflowed rays never force extra RMW).
+    has = m_cnt > 0
+    big = jnp.int32(cap + SEG)
+    cmin0 = jnp.min(jnp.where(has, cur, big))
+    cmax0 = jnp.max(jnp.where(has, jnp.minimum(cur + m_cnt - 1, cap - 1), -1))
+
+    def extract(i, _):
+        oh = hit & (rank == i)                   # one lane where m_cnt > i
+        pick = lambda x: jnp.sum(jnp.where(oh, x, 0.0), axis=1, keepdims=True)
+        p_dst = pick(dot)
+        p_int = pick(f)
+        p_idx = seg * SEG + jnp.sum(jnp.where(oh, lane, 0), axis=1,
+                                    keepdims=True)
+        dest = cur + i                           # (tile, 1)
+        valid = i < m_cnt
+        for j in range(n_chunks):
+            @pl.when((cmin0 + i < (j + 1) * SEG) & (cmax0 >= j * SEG)
+                     & (cmin0 + i < cap))
+            def _(j=j):
+                sl = slice(j * SEG, (j + 1) * SEG)
+                colj = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, SEG), 1) + j * SEG
+                ohc = (colj == dest) & valid
+                idx_ref[:, sl] = jnp.where(ohc, p_idx, idx_ref[:, sl])
+                intg_ref[:, sl] = jnp.where(ohc, p_int, intg_ref[:, sl])
+                dist_ref[:, sl] = jnp.where(ohc, p_dst, dist_ref[:, sl])
+        return 0
+
+    jax.lax.fori_loop(0, n_extract, extract, 0)
+    return cur + m_cnt
+
+
 def _records_tile_kernel(
     mask_ref,       # SMEM (1, 1, n_words) i32 overlap bitmask words
     rays_ref,       # VMEM (TILE, 16)
@@ -82,88 +180,77 @@ def _records_tile_kernel(
     cap: int,
 ):
     tile = rays_ref.shape[0]
-    n_words = mask_ref.shape[2]
-    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, SEG), 1)
-    n_chunks = cap // SEG
+    rays_cols = _ray_columns(rays_ref)
 
     # Record rows live in the output VMEM blocks, updated by read-modify-
     # write of STATIC 128-column chunks (never a dynamic store — broken on
-    # this hardware); the per-extraction scalar cursor window keeps the RMW
-    # to the 1-2 chunks the tile's cursors actually span, so the append cost
+    # this hardware); the per-slab scalar cursor window keeps the RMW to
+    # the 1-2 chunks the tile's cursors actually span, so the append cost
     # is O(128 columns), independent of the ray capacity.
     idx_ref[...] = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
     intg_ref[...] = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
     dist_ref[...] = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
 
-    # Phase 1: decode this tile's bitmask words into a segment-id list
-    # (identical to the bitmask cumulative kernel's scalar phase).
-    def word_body(w, n):
-        word0 = mask_ref[0, 0, w]
+    n = _decode_seg_list(mask_ref, seg_list, mask_ref.shape[2])
 
-        def emit(state):
-            word, n = state
-            for s in range(32):
-                seg_list[n] = w * 32 + s
-                n = n + ((word >> s) & 1)
-            return n
-
-        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
-
-    n = jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
-
-    # Phase 2: segment loop; per slab, drain the hit mask one hit per
-    # extraction iteration, appending at the per-ray cursor.
     def seg_body(k, cur):
         seg = seg_list[k]
-        slab = prims_ref[seg]
-        px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
-        inv_h2, h2 = slab[4:5, :], slab[5:6, :]
+        return _records_slab_drain(prims_ref[seg], seg, cur, rays_cols,
+                                   (idx_ref, intg_ref, dist_ref), cap=cap)
 
-        rx, ry, rz = px - ox, py - oy, pz - oz
-        dot = rx * dx + ry * dy + rz * dz
-        bx = rx - dot * dx
-        by = ry - dot * dy
-        bz = rz - dot * dz
-        b2 = bx * bx + by * by + bz * bz
-        hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
-        f = cubic_spline_line_integral_horner1(b2 * inv_h2) * inv_h2
+    cur = jax.lax.fori_loop(0, n, seg_body, jnp.zeros((tile, 1), jnp.int32))
+    counts_ref[...] = cur
 
-        m0 = hit.astype(jnp.int32)
-        n_extract = jnp.max(jnp.sum(m0, axis=1))
 
-        def extract(_, st):
-            m, cur = st
-            first = jnp.min(jnp.where(m > 0, lane, SEG), axis=1, keepdims=True)
-            valid = first < SEG                              # (tile, 1)
-            oh = lane == first                               # one lane when valid
-            pick = lambda x: jnp.sum(jnp.where(oh, x, 0.0), axis=1, keepdims=True)
-            p_dst = pick(dot)
-            p_int = pick(f)
-            p_idx = seg * SEG + first
-            # Scalar window of chunks any VALID ray's cursor lands in.
-            big = jnp.int32(cap + SEG)
-            cmin = jnp.min(jnp.where(valid, cur, big))
-            # Clamp so one overflowed ray (cursor >= cap, writes drop) does
-            # not force every chunk's RMW.
-            cmax = jnp.minimum(jnp.max(jnp.where(valid, cur, -1)),
-                               jnp.int32(cap - 1))
-            for j in range(n_chunks):
-                @pl.when((cmin < (j + 1) * SEG) & (cmax >= j * SEG))
-                def _(j=j):
-                    sl = slice(j * SEG, (j + 1) * SEG)
-                    colj = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile, SEG), 1) + j * SEG
-                    ohc = (colj == cur) & valid
-                    idx_ref[:, sl] = jnp.where(ohc, p_idx, idx_ref[:, sl])
-                    intg_ref[:, sl] = jnp.where(ohc, p_int, intg_ref[:, sl])
-                    dist_ref[:, sl] = jnp.where(ohc, p_dst, dist_ref[:, sl])
+def _records_tile_kernel_stream(
+    mask_ref,       # SMEM (1, 1, n_words) i32 overlap bitmask words
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # HBM (8, N_pad) component-major
+    counts_ref,     # VMEM out (TILE, 1) i32
+    idx_ref,        # VMEM out (TILE, C) i32
+    intg_ref,       # VMEM out (TILE, C) f32
+    dist_ref,       # VMEM out (TILE, C) f32
+    seg_list,       # SMEM scratch (n_words*32,) i32
+    pbuf,           # VMEM scratch (NBUF, 8, SEG)
+    sem,            # DMA sems (NBUF,)
+    *,
+    cap: int,
+):
+    """Streaming (any-scene-size) variant: listed slabs arrive through the
+    double-buffered HBM->VMEM DMA pipeline of the bitmask-stream cumulative
+    kernel (pallas_kernel._trace_tile_kernel_bitmask_stream)."""
+    tile = rays_ref.shape[0]
+    nbuf = pbuf.shape[0]
+    rays_cols = _ray_columns(rays_ref)
 
-            cur = cur + valid.astype(jnp.int32)
-            m = jnp.where(oh, 0, m)
-            return m, cur
+    idx_ref[...] = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
+    intg_ref[...] = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
+    dist_ref[...] = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
 
-        _, cur = jax.lax.fori_loop(0, n_extract, extract, (m0, cur))
+    n = _decode_seg_list(mask_ref, seg_list, mask_ref.shape[2])
+
+    def dma(slot, k):
+        seg = seg_list[k]
+        return pltpu.make_async_copy(
+            prims_ref.at[:, pl.ds(seg * SEG, SEG)], pbuf.at[slot], sem.at[slot]
+        )
+
+    for w in range(nbuf):
+        @pl.when(w < n)
+        def _(w=w):
+            dma(w, w).start()
+
+    def seg_body(k, cur):
+        slot = jax.lax.rem(k, nbuf)
+        dma(slot, k).wait()
+        cur = _records_slab_drain(pbuf[slot], seg_list[k], cur, rays_cols,
+                                  (idx_ref, intg_ref, dist_ref), cap=cap)
+
+        # Refill THIS slot only after its contents were consumed.
+        @pl.when(k + nbuf < n)
+        def _():
+            dma(slot, k + nbuf).start()
+
         return cur
 
     cur = jax.lax.fori_loop(0, n, seg_body, jnp.zeros((tile, 1), jnp.int32))
@@ -185,6 +272,8 @@ def pallas_trace_sph_records(
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
     — see module docstring). per_ray_capacity must be a multiple of 128.
+    Scenes beyond ``vmem_resident_limit`` stream primitive slabs from HBM
+    (any scene size, like the reference's trace_sph).
 
     Hit records of ray r land in row r in ascending-primitive-index order
     (segments are visited ascending and lanes drained left to right), exactly
@@ -202,11 +291,7 @@ def pallas_trace_sph_records(
         )
     packed, r_pad = _pack_rays(rays, tile)
     prims, n_prim_pad = _pack_prims(spheres)
-    if (n_prim_pad // SEG) * 8 * SEG * 4 > vmem_resident_limit:
-        raise ValueError(
-            "pallas_trace_sph_records requires the VMEM-resident primitive "
-            "regime; use trace_sph (XLA engine) for larger scenes")
-    prims3d = prims.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
+    resident = (n_prim_pad // SEG) * 8 * SEG * 4 <= vmem_resident_limit
 
     from grace_tpu.trace.pallas_broadphase import dense_tile_masks
 
@@ -214,30 +299,48 @@ def pallas_trace_sph_records(
     n_tiles = r_pad // tile
     cap = per_ray_capacity
 
-    counts, idx, intg, dist = pl.pallas_call(
-        functools.partial(_records_tile_kernel, cap=cap),
-        out_shape=(
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((r_pad, cap), jnp.int32),
-            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
-        ),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
-        interpret=interpret,
-    )(masks[:, None, :], packed, prims3d)
+    out_shape = (
+        jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((r_pad, cap), jnp.int32),
+        jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+    )
+    common_specs = [
+        pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    if resident:
+        prims3d = prims.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
+        counts, idx, intg, dist = pl.pallas_call(
+            functools.partial(_records_tile_kernel, cap=cap),
+            out_shape=out_shape,
+            grid=(n_tiles,),
+            in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.SMEM((masks.shape[1] * 32,), jnp.int32)],
+            interpret=interpret,
+        )(masks[:, None, :], packed, prims3d)
+    else:
+        counts, idx, intg, dist = pl.pallas_call(
+            functools.partial(_records_tile_kernel_stream, cap=cap),
+            out_shape=out_shape,
+            grid=(n_tiles,),
+            in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.SMEM((masks.shape[1] * 32,), jnp.int32),
+                pltpu.VMEM((4, 8, SEG), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(masks[:, None, :], packed, prims)
 
     return RecordTraceResult(
         counts=counts[:n_rays, 0],

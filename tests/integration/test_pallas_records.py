@@ -160,3 +160,18 @@ def test_records_to_flat_roundtrip(rng):
     for k in range(rays.n_rays):
         np.testing.assert_array_equal(
             np.asarray(fi)[off[k]:off[k] + cnt[k]], ri[k, :cnt[k]])
+
+
+def test_records_streaming_matches_resident(rng):
+    """Forcing the HBM-streaming variant (tiny vmem_resident_limit) must
+    reproduce the resident kernel's records bit-for-bit — the per-hit path
+    works at any scene size (ref: trace_sph.cuh works for any N)."""
+    ss, tree, rays = setup(rng)
+    rec_r = pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=64,
+                                     interpret=True)
+    rec_s = pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=64,
+                                     interpret=True, vmem_resident_limit=1024)
+    assert bool(jnp.all(rec_r.counts == rec_s.counts))
+    assert bool(jnp.all(rec_r.indices == rec_s.indices))
+    assert bool(jnp.all(rec_r.integrals == rec_s.integrals))
+    assert bool(jnp.all(rec_r.distances == rec_s.distances))
