@@ -126,6 +126,8 @@ def ring_pallas_render(
 
 @functools.lru_cache(maxsize=None)
 def _ring_pallas_fn(mesh: Mesh, tile: int, interpret: bool):
+    from grace_tpu.trace.broadphase import tile_aabbs
+    from grace_tpu.trace.pallas_broadphase import masks_for_tile_aabbs
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
     from grace_tpu.utils.vma import promote_to_vma
 
@@ -138,13 +140,36 @@ def _ring_pallas_fn(mesh: Mesh, tile: int, interpret: bool):
     )
     def shard_render(local_rays, local_spheres):
         n_space = jax.lax.axis_size("space")
+        idx = jax.lax.axis_index("space")
         perm = [(i, (i + 1) % n_space) for i in range(n_space)]
 
-        def step(carry, _):
+        # Broadphase hoisted OUT of the ring (one batched pass instead of a
+        # serialized per-step cull): every block's per-tile AABBs are tiny,
+        # so gather THEM over the ring and build this shard's masks against
+        # all n_space blocks up front. Needs whole ray tiles; ragged blocks
+        # fall back to in-step culling.
+        hoist = local_rays.n_rays % tile == 0
+        if hoist:
+            tmin, tmax = tile_aabbs(local_rays, tile)
+            tmin_all = jax.lax.all_gather(tmin, "space")   # (n_space, T, 3)
+            tmax_all = jax.lax.all_gather(tmax, "space")
+            masks_all = jax.vmap(
+                lambda a, b: masks_for_tile_aabbs(a, b, local_spheres)
+            )(tmin_all, tmax_all)                          # (n_space, T, W)
+
+        def step(carry, t):
             rays_blk, acc, ovf = carry
+            if hoist:
+                # After t forward ppermutes, this shard holds the block that
+                # STARTED at ring position idx - t.
+                b = jax.lax.rem(idx - t + n_space, n_space)
+                masks = jax.lax.dynamic_index_in_dim(
+                    masks_all, b, keepdims=False)
+            else:
+                masks = None
             v, o = pallas_trace_sph(
                 rays_blk, local_spheres, tile=tile, mode="cumulative",
-                broadphase="bitmask", interpret=interpret)
+                broadphase="bitmask", interpret=interpret, masks=masks)
             acc = acc + v
             ovf = ovf | jnp.any(o)
             rays_nxt = jax.tree_util.tree_map(
@@ -156,7 +181,8 @@ def _ring_pallas_fn(mesh: Mesh, tile: int, interpret: bool):
         init = promote_to_vma(
             (local_rays, acc0, jnp.zeros((), jnp.bool_)),
             frozenset(("rays", "space")))
-        (_, img, ovf), _ = jax.lax.scan(step, init, None, length=n_space)
+        (_, img, ovf), _ = jax.lax.scan(
+            step, init, jnp.arange(n_space, dtype=jnp.int32))
         flag = jax.lax.pmax(ovf.astype(jnp.int32), ("rays", "space"))
         return img, flag > 0
 

@@ -113,6 +113,20 @@ def dense_tile_masks(
     a 2k-image x 4M-particle scene is 2.1e9 dense bools but only 268 MB of
     packed words)."""
     tmin, tmax = tile_aabbs(rays, tile)
+    return masks_for_tile_aabbs(tmin, tmax, spheres, seg_block)
+
+
+def masks_for_tile_aabbs(
+    tmin: jax.Array,
+    tmax: jax.Array,
+    spheres: jax.Array,
+    seg_block: int = 8192,
+) -> jax.Array:
+    """``dense_tile_masks`` from precomputed ray-tile AABBs — the split lets
+    distributed callers build masks for REMOTE ray blocks (ship the tiny
+    per-tile boxes through a collective, not the rays) and hoist the whole
+    broadphase out of a ring circuit (parallel/sharding.ring_pallas_render).
+    """
     seg_min, seg_max = segment_aabbs(spheres)
 
     def block_words(args):

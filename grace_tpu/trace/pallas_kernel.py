@@ -451,6 +451,7 @@ def pallas_trace_sph(
     vmem_resident_limit: int = 48 * 1024 * 1024,
     subtiles: int = 1,
     unroll: int = 16,
+    masks: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Column density (mode='cumulative') or hit counts (mode='hitcount')
     per ray via broadphase + streaming Pallas kernel.
@@ -460,6 +461,10 @@ def pallas_trace_sph(
     ``broadphase``: 'dense' (default; hierarchical-free segment culling,
     see pallas_broadphase.py) or 'xla' (lockstep BVH walk oracle). ``tree``
     is only consulted by the 'xla' broadphase and may be None otherwise.
+    ``masks`` optionally supplies precomputed bitmask broadphase words
+    (pallas_broadphase.masks_for_tile_aabbs over the SAME tile-padded rays
+    and spheres) for callers that hoist/reuse the broadphase — ring
+    distribution, fixed-ray training loops.
     """
     if mode not in ("cumulative", "hitcount"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -486,8 +491,13 @@ def pallas_trace_sph(
         # the fast path must not require residency).
         from grace_tpu.trace.pallas_broadphase import dense_tile_masks
 
-        masks = dense_tile_masks(rays, spheres, tile)
+        if masks is None:
+            masks = dense_tile_masks(rays, spheres, tile)
         n_tiles = r_pad_bm // tile
+        if masks.shape[0] != n_tiles:
+            raise ValueError(
+                f"precomputed masks cover {masks.shape[0]} tiles, kernel "
+                f"needs {n_tiles} (tile-padded rays)")
         common_specs = [
             pl.BlockSpec((1, 1, masks.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
