@@ -206,22 +206,21 @@ def main(sharded: bool = False):
     splat_ms = device_frame_ms(splat_body)
     trace_ms = device_frame_ms(trace_body, k1=2, k2=8)
 
-    # Differentiable train step (fused Pallas forward AND backward,
-    # trace/pallas_render.py): render -> L2 loss vs target -> particle +
-    # weight gradients -> SGD update, at full bench scale.
-    from grace_tpu.trace.pallas_render import make_fused_renderer
+    # MXU train step (trace/splat_grad.py): custom_vjp sort-free splat,
+    # forward AND backward rank-K MXU contractions — render -> L2 loss vs
+    # target -> particle + weight gradients -> SGD update, full bench scale.
+    from grace_tpu.trace.splat_grad import OrthoCamera, make_splat_trainer
 
-    n_bwd_tiles = (N_RAYS + 127) // 128
-    renderer = make_fused_renderer(tile=128, max_chunks=2048,
-                                   max_tiles_per_seg=n_bwd_tiles)
+    cam = OrthoCamera(CAM, LOOK, UP, VEXT, LENGTH, side, side)
+    splat_render = make_splat_trainer(cam, tile_w=32, tile_h=128)
     weights = jnp.ones((N_PARTICLES,), jnp.float32)
-    target = img_trace.reshape(-1) * 1.01
+    target2d = img_trace * 1.01
 
     @jax.jit
     def train_step(s, w):
         def loss_fn(s, w):
-            v = renderer(rays_s, s, w)
-            return jnp.sum((v - target) ** 2) / N_RAYS
+            v = splat_render(s, w)
+            return jnp.sum((v - target2d) ** 2) / N_RAYS
 
         loss, (gs, gw) = jax.value_and_grad(loss_fn, argnums=(0, 1))(s, w)
         return s - 1e-6 * gs, w - 1e-6 * gw, loss
@@ -234,6 +233,33 @@ def main(sharded: bool = False):
         return acc + loss * 1e-38 + 1.0
 
     train_ms = device_frame_ms(train_body, k1=1, k2=4)
+
+    # General (any-ray-bundle) differentiable step: fused Pallas trace
+    # forward + segment-major backward (trace/pallas_render.py).
+    from grace_tpu.trace.pallas_render import make_fused_renderer
+
+    n_bwd_tiles = (N_RAYS + 127) // 128
+    renderer = make_fused_renderer(tile=128, max_chunks=2048,
+                                   max_tiles_per_seg=n_bwd_tiles)
+    target = img_trace.reshape(-1) * 1.01
+
+    @jax.jit
+    def train_step_general(s, w):
+        def loss_fn(s, w):
+            v = renderer(rays_s, s, w)
+            return jnp.sum((v - target) ** 2) / N_RAYS
+
+        loss, (gs, gw) = jax.value_and_grad(loss_fn, argnums=(0, 1))(s, w)
+        return s - 1e-6 * gs, w - 1e-6 * gw, loss
+
+    sg1, wg1, lossg1 = train_step_general(sorted_spheres, weights)
+    assert np.isfinite(float(lossg1)) and bool(jnp.all(jnp.isfinite(sg1)))
+
+    def train_general_body(i, acc):
+        _, _, loss = train_step_general(sorted_spheres + acc * 1e-38, weights)
+        return acc + loss * 1e-38 + 1.0
+
+    train_general_ms = device_frame_ms(train_general_body, k1=1, k2=3)
     bucket_ms = device_frame_ms(bucket_body, k1=2, k2=8)
 
     # final fault check: scalar-fetch a fresh frame
@@ -252,6 +278,7 @@ def main(sharded: bool = False):
                 "bucket_prep_ms": round(bucket_ms, 2),
                 "splat_frame_ms": round(splat_ms, 3),
                 "train_step_ms": round(train_ms, 2),
+                "train_step_general_ms": round(train_general_ms, 2),
                 "device_parity_check": "ok",
                 "splat_vs_trace_rel_err": rel_err,
             }

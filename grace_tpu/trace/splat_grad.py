@@ -238,13 +238,13 @@ def _poly_and_deriv(t, coeffs, deg):
 
 
 def _sortfree_bwd_kernel(
-    n_tiles_ref,   # SMEM (1, 1, 1) i32
-    tiles_ref,     # SMEM (1, 1, T_max) i32
+    mask_ref,      # SMEM (1, 1, n_words) i32: bit t of word w = tile w*32+t
     coord_ref,     # SMEM (1, 1, 4) f32: x0, dx, y0, dy
     prims_ref,     # VMEM (1, 8, SEG) this segment's proj slab
     g_hbm,         # HBM (n_tiles, TW, TH) cotangent tiles
     grad_ref,      # VMEM out (1, 8, SEG): rows g_pu, g_pv, g_t2 (=g_logh
     #                contributions, see below), g_scale, 4 zero
+    tile_list,     # SMEM scratch (n_words*32,) i32
     gbuf,          # VMEM scratch (2, TW, TH)
     sem,           # DMA sems (2,)
     *,
@@ -261,7 +261,24 @@ def _sortfree_bwd_kernel(
     pv = slab[1:2, :]
     invh = slab[2:3, :]
     scl = slab[3:4, :]
-    n = n_tiles_ref[0, 0, 0]
+
+    # Decode this segment's overlapped-tile bitmask into an SMEM tile list
+    # (the bitmask kernels' scalar phase) — no per-segment argsort list
+    # build on the host side, and NO capacity: the scratch holds every tile
+    # id, so the backward cannot truncate.
+    def word_body(w, n):
+        word0 = mask_ref[0, 0, w]
+
+        def emit(state):
+            word, n = state
+            for s in range(32):
+                tile_list[n] = w * 32 + s
+                n = n + ((word >> s) & 1)
+            return n
+
+        return jax.lax.cond(word0 != 0, emit, lambda s: s[1], (word0, n))
+
+    n = jax.lax.fori_loop(0, mask_ref.shape[2], word_body, jnp.int32(0))
     x0 = coord_ref[0, 0, 0]
     dx = coord_ref[0, 0, 1]
     y0 = coord_ref[0, 0, 2]
@@ -274,7 +291,7 @@ def _sortfree_bwd_kernel(
 
     def dma(slot, k):
         return pltpu.make_async_copy(
-            g_hbm.at[tiles_ref[0, 0, k]], gbuf.at[slot], sem.at[slot])
+            g_hbm.at[tile_list[k]], gbuf.at[slot], sem.at[slot])
 
     @pl.when(n > 0)
     def _():
@@ -290,7 +307,7 @@ def _sortfree_bwd_kernel(
 
         dma(slot, k).wait()
         g = gbuf[slot]                                   # (TW, TH)
-        t_id = tiles_ref[0, 0, k]
+        t_id = tile_list[k]
         row0 = ((t_id // ntx) * tile_w).astype(jnp.float32)
         col0 = (jax.lax.rem(t_id, ntx) * tile_h).astype(jnp.float32)
         ys = y0 + (row0 + iota_w) * dy                   # (TW, 1)
@@ -394,33 +411,27 @@ def splat_forward_sortfree(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "tile_w", "tile_h", "max_tiles", "interpret"),
+    static_argnames=("cam", "tile_w", "tile_h", "interpret"),
 )
 def splat_backward_sortfree(
     spheres, weights, g_image, cam: OrthoCamera,
     tile_w: int = 32, tile_h: int = 128,
-    max_tiles: int = 256,
     interpret: bool = False,
 ):
-    """Segment-major splat backward: (g_spheres f32[n, 4], g_weights f32[n],
-    overflow bool[]).
+    """Segment-major splat backward: (g_spheres f32[n, 4], g_weights f32[n]).
 
-    overflow=True means some segment overlapped more than ``max_tiles``
-    cotangent tiles and its gradients are truncated — raise max_tiles.
+    The per-segment overlapped-tile lists are a TRANSPOSED bitmask decoded
+    inside the kernel (the same argsort-free pattern as the forward and the
+    trace kernels), so the backward has no tile-list capacity and cannot
+    truncate gradients.
     """
+    from grace_tpu.trace.pallas_broadphase import pack_overlap_bits
+
     pu, pv, invh, scale = project_ortho(spheres, weights, cam)
     slabs = pack_proj_slabs(pu, pv, invh, scale)
     overlap = projected_overlap(pu, pv, invh, scale, cam, tile_w, tile_h)
     n_tiles_total, n_segs = overlap.shape
-    counts = jnp.sum(overlap, axis=0).astype(jnp.int32)
-    order = jnp.argsort(jnp.logical_not(overlap), axis=0, stable=True)
-    keep = min(max_tiles, n_tiles_total)
-    tile_ids = jnp.transpose(order[:keep]).astype(jnp.int32)
-    tile_ids = jnp.pad(tile_ids, ((0, 0), (0, max_tiles - keep)))
-    tile_ids = jnp.where(
-        jnp.arange(max_tiles)[None, :] < counts[:, None], tile_ids, 0)
-    n_per_seg = jnp.minimum(counts, max_tiles)
-    overflow = jnp.any(counts > max_tiles)
+    masks_t = pack_overlap_bits(jnp.transpose(overlap))  # (n_segs, words)
 
     ntx = cam.resolution_x // tile_h
     nty = cam.resolution_y // tile_w
@@ -440,9 +451,7 @@ def splat_backward_sortfree(
         out_shape=jax.ShapeDtypeStruct((n_segs, 8, SEG), jnp.float32),
         grid=(n_segs,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, max_tiles), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, masks_t.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i: (0, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -453,11 +462,12 @@ def splat_backward_sortfree(
         out_specs=pl.BlockSpec((1, 8, SEG), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.SMEM((masks_t.shape[1] * 32,), jnp.int32),
             pltpu.VMEM((2, tile_w, tile_h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(n_per_seg[:, None, None], tile_ids[:, None, :], coords, slabs, g_tiles)
+    )(masks_t[:, None, :], coords, slabs, g_tiles)
 
     n = spheres.shape[0]
     flat = grad.transpose(1, 0, 2).reshape(8, -1)[:, :n]   # (8, n) components
@@ -480,18 +490,18 @@ def splat_backward_sortfree(
                     0.0)
     g_spheres = jnp.concatenate([g_pos, g_h[:, None]], axis=1)
     g_weights = jnp.where(live, g_s * invh * invh, 0.0)
-    return g_spheres, g_weights, overflow
+    return g_spheres, g_weights
 
 
 def make_splat_trainer(cam: OrthoCamera, tile_w: int = 32, tile_h: int = 128,
-                       max_tiles_per_seg: int = 256,
                        interpret: bool = False):
     """custom_vjp orthographic splat renderer: MXU forward AND backward.
 
     render(spheres, weights) -> image f32[H, W]; gradients flow to particle
-    positions, smoothing lengths, and weights. Backward truncation (a
-    segment overlapping > max_tiles_per_seg tiles) poisons gradients with
-    NaN — loud, never silent (same discipline as make_fused_renderer).
+    positions, smoothing lengths, and weights. Neither direction has a
+    capacity: the forward's tile segment lists and the backward's
+    segment tile lists are both bitmask-decoded in-kernel, so nothing can
+    overflow or truncate.
     """
 
     @jax.custom_vjp
@@ -505,11 +515,10 @@ def make_splat_trainer(cam: OrthoCamera, tile_w: int = 32, tile_h: int = 128,
 
     def bwd(res, g):
         spheres, weights = res
-        gs, gw, overflow = splat_backward_sortfree(
+        gs, gw = splat_backward_sortfree(
             spheres, weights, g, cam, tile_w=tile_w, tile_h=tile_h,
-            max_tiles=max_tiles_per_seg, interpret=interpret)
-        poison = jnp.where(overflow, jnp.float32(jnp.nan), jnp.float32(0))
-        return gs + poison, gw + poison
+            interpret=interpret)
+        return gs, gw
 
     render.defvjp(fwd, bwd)
     return render
