@@ -194,13 +194,15 @@ def bucket_prims_ortho(
         num_keys=1,
     )
 
-    # Per-key instance ranges [first, last) by binary search in the sorted
-    # keys (the kernel masks by GLOBAL instance index, so no chunk-alignment
+    # Per-key instance ranges [first, last) by a broadcast count reduction
+    # (the kernel masks by GLOBAL instance index, so no chunk-alignment
     # padding / compaction pass is needed at all: a band's first and last
     # slabs may share instances with its neighbors, and the mask zeroes the
-    # foreign ones).
-    first = jnp.searchsorted(key_s, jnp.arange(n_keys + 1),
-                             side="left").astype(jnp.int32)
+    # foreign ones). NOTE: jnp.searchsorted here wedged the axon TPU at
+    # bench scale (scan-lowered binary search); the dense count is ~0.5 ms
+    # and known-good.
+    first = jnp.sum(key_s[None, :] < jnp.arange(n_keys + 1)[:, None],
+                    axis=1).astype(jnp.int32)
     last = first[1:]
     first = first[:-1]
 
