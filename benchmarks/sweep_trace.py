@@ -1,5 +1,13 @@
 """Sweep (tile, subtiles) configs for the fused Pallas SPH trace and split
 broadphase vs kernel time. Usage: python benchmarks/sweep_trace.py [n] [rays].
+
+Scaling configuration (VERDICT r2 #8 / results/bigscene_r2.md): run
+`python benchmarks/sweep_trace.py bigscene` for the 2048^2-ray x 4.19M-
+particle scene — device-time broadphase + full-trace ms plus the packed
+bitmask MB (the broadphase output is n_tiles * n_segs / 8 bytes; the
+chunked pack never materializes the dense bool matrix). r2 measured:
+broadphase 8.31 ms (268 MB of masks), full trace 2325 ms = 1.8e6 rays/s,
+broadphase share 0.4%.
 """
 
 import pathlib
@@ -23,6 +31,51 @@ def timeit(run, iters=5):
     return best * 1e3, r
 
 
+def bigscene():
+    """The broadphase scaling cliff configuration: 2048^2 rays x 4.19M
+    particles (streaming kernel regime). Documents ms + mask MB."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from bench import make_clustered_particles
+    from grace_tpu.rays.gen import plane_parallel_random_rays, spatial_sort_rays
+    from grace_tpu.trace.pallas_broadphase import dense_tile_masks
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    n, side, tile = 1 << 22, 2048, 64
+    rng = np.random.default_rng(2026)
+    spheres = jnp.asarray(make_clustered_particles(rng, n))
+    rays = plane_parallel_random_rays(
+        jax.random.key(0), side, side, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 6.0)
+    rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
+
+    masks = dense_tile_masks(rays_s, spheres, tile)
+    mb = masks.size * 4 / 2**20
+    print(f"masks: {masks.shape} = {mb:.0f} MB packed "
+          f"(dense bool would be {masks.shape[0] * (n // 128) / 2**23:.0f} MB "
+          f"per seg-block without chunking)", flush=True)
+
+    def bp_body(i, acc):
+        from grace_tpu.core.types import Rays
+        rr = Rays(rays_s.origins, rays_s.directions, rays_s.lengths + acc * 1e-38)
+        m = dense_tile_masks(rr, spheres, tile)
+        return acc + m[0, 0].astype(jnp.float32) * 1e-38 + 1.0
+
+    bp_ms = bench.device_frame_ms(bp_body, k1=1, k2=4)
+    print(f"broadphase: {bp_ms:.2f} ms device", flush=True)
+
+    def trace_body(i, acc):
+        from grace_tpu.core.types import Rays
+        rr = Rays(rays_s.origins, rays_s.directions, rays_s.lengths + acc * 1e-38)
+        v, _ = pallas_trace_sph(rr, spheres, tile=tile, broadphase="bitmask")
+        return acc + v[0] * 1e-38 + 1.0
+
+    t_ms = bench.device_frame_ms(trace_body, k1=1, k2=3)
+    print(f"full trace: {t_ms:.1f} ms device = {side*side/t_ms*1e3/1e6:.2f} "
+          f"Mray/s, broadphase share {bp_ms/t_ms*100:.1f}%")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,6 +85,10 @@ def main():
     from grace_tpu.rays.gen import plane_parallel_random_rays, spatial_sort_rays
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
     from grace_tpu.trace.pallas_broadphase import dense_tile_segments
+
+    if len(sys.argv) > 1 and sys.argv[1] == "bigscene":
+        bigscene()
+        return
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 512 * 512

@@ -188,11 +188,23 @@ def bucket_prims_ortho(
     # (XLA gathers cost ~15 ns/element on TPU — carrying payloads through
     # lax.sort is several times cheaper than sort-indices-then-gather, and
     # a vectorized searchsorted over millions of queries is worse still).
+    # Unweighted renders drop the 4th payload: scale = invh^2 is derivable
+    # from the sorted invh, as long as dead/out-of-depth particles are
+    # distinguishable — encode them as invh = 0 (their instances are all
+    # sentinel-keyed anyway, but boundary slabs can expose them unmasked...
+    # they sort to the sentinel tail and the gidx mask zeroes them; the
+    # derived scale only needs to match jnp.where(live, inv_h2, 0).
     tiled = lambda a: jnp.tile(a, 4)
-    key_s, pu_s, pv_s, invh_s, scale_s = jax.lax.sort(
-        (tile_ids, tiled(pu), tiled(pv), tiled(invh), tiled(scale)),
-        num_keys=1,
-    )
+    if weights is None:
+        invh_live = jnp.where(live, invh, 0.0)
+        key_s, pu_s, pv_s, invh_s = jax.lax.sort(
+            (tile_ids, tiled(pu), tiled(pv), tiled(invh_live)), num_keys=1)
+        scale_s = invh_s * invh_s
+    else:
+        key_s, pu_s, pv_s, invh_s, scale_s = jax.lax.sort(
+            (tile_ids, tiled(pu), tiled(pv), tiled(invh), tiled(scale)),
+            num_keys=1,
+        )
 
     # Per-key instance ranges [first, last) by a broadcast count reduction
     # (the kernel masks by GLOBAL instance index, so no chunk-alignment
