@@ -137,12 +137,15 @@ def main(sharded: bool = False):
     assert check_trace, "fused trace kernel hitcount parity FAILED on device"
 
     # 2. splat image vs the fused trace kernel's cumulative values at full
-    #    scale (both approximate the same sums; gate well inside 5e-4 + fit
-    #    combined fit tolerances).
+    #    scale (both approximate the same sums; gate well inside the combined
+    #    trace-table 5e-4 + separable-fit 3.1e-4 tolerances). Headline config
+    #    (r3 hardware sweep, benchmarks/r3_splat_sweep2.py): 32x128 tiles in
+    #    32-column bands, 512-prim chunks, jointly-fit deg-8 basis.
     buckets = bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT, LENGTH,
-                                 side, side, tile_w=32, tile_h=128, chunk=512)
+                                 side, side, tile_w=32, tile_h=128, chunk=512,
+                                 band=32)
     assert not bool(buckets.overflow), "splat tile overflow; enlarge tiles"
-    img = splat_image(buckets, tile_w=32, tile_h=128)
+    img = splat_image(buckets, tile_w=32, tile_h=128, basis="deg8")
     trace_v, ovf_t = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=64,
                                       broadphase="bitmask")
     assert not bool(jnp.any(ovf_t))
@@ -160,7 +163,8 @@ def main(sharded: bool = False):
 
         n_dev = len(jax.devices())
         mesh = make_mesh(n_dev, 1)
-        img_sh = sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128)
+        img_sh = sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128,
+                                      basis="deg8")
         rel = float(jnp.max(jnp.abs(img_sh - img)) / jnp.max(img))
         assert rel < 1e-6, f"sharded splat != single-chip splat ({rel})"
         tr_sh, ovf_sh = sharded_pallas_render(mesh, rays_s, sorted_spheres,
@@ -168,7 +172,8 @@ def main(sharded: bool = False):
         check_overflow(ovf_sh, "sharded trace overflow")
         assert bool(jnp.all(tr_sh == trace_v)), "sharded trace != single"
         splat_sh_ms = pipelined_ms(
-            lambda: sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128))
+            lambda: sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128,
+                                         basis="deg8"))
         rays_per_s = N_RAYS / (splat_sh_ms / 1e3)
         print(json.dumps({
             "metric": "sph_column_density_rays_per_s_sharded",
@@ -186,7 +191,7 @@ def main(sharded: bool = False):
     # device-side, and the axon tunnel dedups identical dispatches) ---------
     def splat_body(i, acc):
         bb = buckets._replace(xcols=buckets.xcols + acc * 1e-38)
-        im = splat_image(bb, tile_w=32, tile_h=128)
+        im = splat_image(bb, tile_w=32, tile_h=128, basis="deg8")
         return acc + im[0, 0] * 1e-38 + 1.0
 
     def trace_body(i, acc):
@@ -200,7 +205,7 @@ def main(sharded: bool = False):
     def bucket_body(i, acc):
         bb = bucket_prims_ortho(sorted_spheres + acc * 1e-38, CAM, LOOK, UP,
                                 VEXT, LENGTH, side, side, tile_w=32,
-                                tile_h=128, chunk=512)
+                                tile_h=128, chunk=512, band=32)
         return acc + bb.slabs[0, 0, 0] * 1e-38 + 1.0
 
     splat_ms = device_frame_ms(splat_body)
@@ -263,7 +268,8 @@ def main(sharded: bool = False):
     bucket_ms = device_frame_ms(bucket_body, k1=2, k2=8)
 
     # final fault check: scalar-fetch a fresh frame
-    total = float(jnp.sum(splat_image(buckets, tile_w=32, tile_h=128)))
+    total = float(jnp.sum(splat_image(buckets, tile_w=32, tile_h=128,
+                                      basis="deg8")))
     assert np.isfinite(total) and total > 0
 
     rays_per_s = N_RAYS / (splat_ms / 1e3)

@@ -195,11 +195,13 @@ def sharded_splat_render(
     tile_w: int = 64,
     tile_h: int = 128,
     interpret: bool = False,
+    basis: str = "deg10",
 ):
     """MXU splat renderer over the mesh: image TILE ROWS sharded across all
-    devices (row-major tile order makes the leading meta axis the row axis),
-    instance slabs replicated. Communication-free forward; the per-(scene,
-    camera) bucket prep stays replicated (it is ~1%% of frame time).
+    devices (row-major tile order makes the leading meta axis the row axis
+    for banded and unbanded buckets alike), instance slabs replicated.
+    Communication-free forward; the per-(scene, camera) bucket prep stays
+    replicated (it is ~1%% of frame time).
 
     Returns the full image f32[H, W] sharded over rows.
     """
@@ -208,13 +210,14 @@ def sharded_splat_render(
     nty = h_res // tile_w
     if nty % n_dev:
         raise ValueError(f"tile rows {nty} must divide over {n_dev} devices")
-    ntx = buckets.xcols.shape[0] // tile_h
-    return _sharded_splat_fn(mesh, tile_w, tile_h, nty, ntx, interpret)(buckets)
+    keys_per_row = buckets.first.shape[0] // nty
+    return _sharded_splat_fn(mesh, tile_w, tile_h, nty, keys_per_row,
+                             interpret, basis)(buckets)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_splat_fn(mesh: Mesh, tile_w: int, tile_h: int, nty: int,
-                      ntx: int, interpret: bool):
+                      ntx: int, interpret: bool, basis: str = "deg10"):
     from grace_tpu.trace.splat import SplatBuckets, splat_image
 
     # Leading-axis row sharding of the per-tile metadata + pixel-row coords.
@@ -241,11 +244,12 @@ def _sharded_splat_fn(mesh: Mesh, tile_w: int, tile_h: int, nty: int,
             xcols=local.xcols, yrows=local.yrows, overflow=local.overflow,
         )
         return splat_image(flat, tile_w=tile_w, tile_h=tile_h,
-                           interpret=interpret)
+                           interpret=interpret, basis=basis)
 
     @jax.jit
     def run(buckets):
-        # Reshape tile meta to [nty, ntx] rows so the leading axis is rows.
+        # Reshape key meta to [nty, keys_per_row] so the leading axis is tile
+        # rows (keys are row-major over (row, column-tile, band)).
         def rows(a):
             return a.reshape(nty, ntx)
 

@@ -71,6 +71,37 @@ class SplatBuckets(NamedTuple):
     overflow: jax.Array   # bool[] — some particle footprint exceeded a band span
 
 
+def _sorted_first_counts(key_s: jax.Array, n_keys: int,
+                         chunk: int = 1024) -> jax.Array:
+    """first[k] = #elements of SORTED ``key_s`` strictly below k, for
+    k = 0..n_keys (inclusive), i32[n_keys + 1].
+
+    Exact two-level count exploiting sortedness: per-chunk maxima decide
+    wholly-below chunks in one (K x m) compare, and each threshold
+    fine-counts only its single straddling chunk (a K-row gather). O(K*(m
+    + C) + n) work instead of the broadcast count's O(K*n) — the broadcast
+    form re-reads the 4n-instance key array K+1 times, which at banded key
+    counts (K ~ 512) dominates bucket prep. (jnp.searchsorted is banned on
+    this platform: its scan-lowered binary search wedged the TPU at bench
+    scale.)
+    """
+    n = key_s.shape[0]
+    pad = (-n) % chunk
+    big = jnp.asarray(np.iinfo(np.int32).max, key_s.dtype)
+    ks = jnp.pad(key_s, (0, pad), constant_values=big)
+    m = ks.shape[0] // chunk
+    ck = ks.reshape(m, chunk)
+    cmax = ck[:, -1]                                  # sorted: max = last
+    thresholds = jnp.arange(n_keys + 1, dtype=key_s.dtype)[:, None]
+    n_full = jnp.sum(cmax[None, :] < thresholds, axis=1)       # (K+1,)
+    fine = ck[jnp.minimum(n_full, m - 1)]                      # (K+1, C)
+    n_fine = jnp.sum(fine < thresholds, axis=1)
+    # n_full == m means every chunk (incl. the gathered duplicate) is wholly
+    # below k; padding (INT32_MAX) keeps that reachable only when pad == 0.
+    return jnp.where(n_full >= m, n,
+                     n_full * chunk + n_fine).astype(jnp.int32)
+
+
 def _camera_frame(camera_position, look_at, view_up):
     view_dir = normalize3(jnp.asarray(look_at, jnp.float32)
                           - jnp.asarray(camera_position, jnp.float32))
@@ -206,15 +237,12 @@ def bucket_prims_ortho(
             num_keys=1,
         )
 
-    # Per-key instance ranges [first, last) by a broadcast count reduction
-    # (the kernel masks by GLOBAL instance index, so no chunk-alignment
-    # padding / compaction pass is needed at all: a band's first and last
-    # slabs may share instances with its neighbors, and the mask zeroes the
-    # foreign ones). NOTE: jnp.searchsorted here wedged the axon TPU at
-    # bench scale (scan-lowered binary search); the dense count is ~0.5 ms
-    # and known-good.
-    first = jnp.sum(key_s[None, :] < jnp.arange(n_keys + 1)[:, None],
-                    axis=1).astype(jnp.int32)
+    # Per-key instance ranges [first, last) by an exact two-level count over
+    # the sorted keys (the kernel masks by GLOBAL instance index, so no
+    # chunk-alignment padding / compaction pass is needed at all: a band's
+    # first and last slabs may share instances with its neighbors, and the
+    # mask zeroes the foreign ones).
+    first = _sorted_first_counts(key_s, n_keys)
     last = first[1:]
     first = first[:-1]
 

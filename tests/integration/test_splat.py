@@ -166,3 +166,21 @@ def test_splat_deg8_joint_basis(rng):
             b, tile_w=16, tile_h=128, interpret=True, basis="deg8")))
     assert np.abs(img - ref).max() < 6e-4 * ref.max()
     assert abs(img.sum() / ref.sum() - 1.0) < 1e-4
+
+
+def test_sorted_first_counts(rng):
+    """Two-level exact count over sorted keys == numpy searchsorted, incl.
+    chunk-boundary, all-below, and empty-key edge cases."""
+    from grace_tpu.trace.splat import _sorted_first_counts
+
+    for n, n_keys, chunk in ((100_000, 512, 1024), (7, 5, 4),
+                             (4096, 64, 1024), (2048, 1, 8)):
+        keys = np.sort(rng.integers(0, n_keys + 1, n)).astype(np.int32)
+        got = np.asarray(_sorted_first_counts(jnp.asarray(keys), n_keys,
+                                              chunk=chunk))
+        want = np.searchsorted(keys, np.arange(n_keys + 1), side="left")
+        assert (got == want).all()
+    # every key strictly below every threshold (the n_full == m edge)
+    got = np.asarray(_sorted_first_counts(jnp.zeros(2048, jnp.int32), 3,
+                                          chunk=1024))
+    assert (got == np.array([0, 2048, 2048, 2048])).all()
