@@ -1,0 +1,53 @@
+"""Round-3 record-kernel drain sweep on real TPU: rank method (prefix vs
+MXU matmul) x drain group width x ray tile, on the 38k-ray bench-scene
+per-hit workload (r2 one-rank prefix drain: 118 ms)."""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from grace_tpu.build.sph import build_sph_tree
+    from grace_tpu.core.types import Rays
+    from grace_tpu.rays.gen import orthographic_projection_rays, spatial_sort_rays
+    from grace_tpu.trace.pallas_records import pallas_trace_sph_records
+    from grace_tpu.trace.sph import trace_hitcounts_sph
+
+    rng = np.random.default_rng(2026)
+    spheres = jnp.asarray(bench.make_clustered_particles(rng, bench.N_PARTICLES))
+    ss, tree, _ = jax.jit(lambda s: build_sph_tree(s, 32))(spheres)
+    rays = orthographic_projection_rays(196, 196, bench.CAM, bench.LOOK,
+                                        bench.UP, bench.VEXT, bench.LENGTH)
+    rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
+    hc = trace_hitcounts_sph(rays_s, ss, tree)
+
+    for rm, g, tile in (("prefix", 1, 64), ("prefix", 4, 64), ("mxu", 4, 64),
+                        ("prefix", 2, 64), ("prefix", 4, 128),
+                        ("prefix", 4, 32)):
+        rec = pallas_trace_sph_records(rays_s, ss, per_ray_capacity=512,
+                                       tile=tile, rank_method=rm, group=g)
+        ok = bool(jnp.all(rec.counts == hc))
+        if not ok:
+            print(f"{rm} g={g} tile={tile}: PARITY FAIL", flush=True)
+            continue
+
+        def body(i, acc, rm=rm, g=g, tile=tile):
+            rr = Rays(rays_s.origins, rays_s.directions,
+                      rays_s.lengths + acc * 1e-38)
+            rec = pallas_trace_sph_records(rr, ss, per_ray_capacity=512,
+                                           tile=tile, rank_method=rm, group=g)
+            return acc + rec.integrals[0, 0] * 1e-38 + 1.0
+
+        ms = bench.device_frame_ms(body, k1=1, k2=4)
+        print(f"{rm} g={g} tile={tile}: {ms:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

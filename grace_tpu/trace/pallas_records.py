@@ -96,12 +96,18 @@ def _decode_seg_list(mask_ref, seg_list, n_words):
     return jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
 
 
-def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap):
+def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
+                        rank_method="mxu", group=8):
     """Intersect one (8, SEG) slab and append every hit to the record rows.
 
     Returns the updated cursor. See module docstring: hits are drained by
     within-slab RANK (exclusive lane-prefix count of the hit mask), so each
-    drain iteration is a true one-hot select with no serial state."""
+    drain iteration is a true one-hot select with no serial state.
+
+    rank_method: 'mxu' (one matmul against a strict-lower-triangular ones
+    matrix) or 'prefix' (Hillis-Steele shifted adds). group: ranks drained
+    per chunk read-modify-write window (W one-hot pick sets batched before
+    the windowed chunk update)."""
     idx_ref, intg_ref, dist_ref = refs
     ox, oy, oz, dx, dy, dz, ln = rays_cols
     tile = ox.shape[0]
@@ -120,18 +126,29 @@ def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap):
     hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
     f = cubic_spline_line_integral_horner1(b2 * inv_h2) * inv_h2
 
-    # Exclusive within-slab rank of each hit. A lane prefix via shifted
-    # adds relayouts catastrophically on Mosaic (measured 3.5x whole-kernel
-    # regression); one MXU matmul against a strict-lower-triangular ones
-    # matrix computes every rank in ~a hundred cycles instead.
-    m = hit.astype(jnp.float32)
-    li = jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0)
-    lj = jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 1)
-    tri = (li < lj).astype(jnp.float32)          # T[l', l] = 1 for l' < l
-    rank = jax.lax.dot_general(
-        m, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    m_cnt = (rank[:, SEG - 1:SEG] + hit[:, SEG - 1:SEG]).astype(jnp.int32)
+    if rank_method == "mxu":
+        # One MXU matmul against a strict-lower-triangular ones matrix
+        # computes every exclusive rank in ~a hundred cycles.
+        m = hit.astype(jnp.float32)
+        li = jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 1)
+        tri = (li < lj).astype(jnp.float32)      # T[l', l] = 1 for l' < l
+        rank = jax.lax.dot_general(
+            m, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        m_cnt = (rank[:, SEG - 1:SEG] + hit[:, SEG - 1:SEG]).astype(jnp.int32)
+    else:
+        # Hillis-Steele lane prefix: log2(SEG) shifted adds (static-slice
+        # shifts, no gathers).
+        m = hit.astype(jnp.int32)
+        inc = m
+        shift = 1
+        while shift < SEG:
+            inc = inc + jnp.concatenate(
+                [jnp.zeros((tile, shift), jnp.int32), inc[:, :-shift]], axis=1)
+            shift *= 2
+        rank = inc - m                           # exclusive prefix
+        m_cnt = inc[:, SEG - 1:SEG]
     n_extract = jnp.max(m_cnt)
 
     # Scalar chunk window, hoisted ONCE per slab: group g appends at
@@ -144,11 +161,8 @@ def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap):
 
     # Ranks are drained in static groups of W: the 3W one-hot picks of a
     # group share no state (they pipeline freely), and each output chunk is
-    # read-modified-written ONCE per group. Draining one rank per loop
-    # iteration instead chains reduce-latency -> RMW -> next iteration's
-    # read of the same chunk and serializes the whole drain (measured 10x
-    # on hardware: 367 ms vs 36 ms for either half alone).
-    W = 8
+    # read-modified-written ONCE per group.
+    W = group
 
     def group(g, _):
         base = g * W
@@ -196,6 +210,8 @@ def _records_tile_kernel(
     seg_list,       # SMEM scratch (n_words*32,) i32
     *,
     cap: int,
+    rank_method: str,
+    group: int,
 ):
     tile = rays_ref.shape[0]
     rays_cols = _ray_columns(rays_ref)
@@ -214,7 +230,8 @@ def _records_tile_kernel(
     def seg_body(k, cur):
         seg = seg_list[k]
         return _records_slab_drain(prims_ref[seg], seg, cur, rays_cols,
-                                   (idx_ref, intg_ref, dist_ref), cap=cap)
+                                   (idx_ref, intg_ref, dist_ref), cap=cap,
+                                   rank_method=rank_method, group=group)
 
     cur = jax.lax.fori_loop(0, n, seg_body, jnp.zeros((tile, 1), jnp.int32))
     counts_ref[...] = cur
@@ -233,6 +250,8 @@ def _records_tile_kernel_stream(
     sem,            # DMA sems (NBUF,)
     *,
     cap: int,
+    rank_method: str,
+    group: int,
 ):
     """Streaming (any-scene-size) variant: listed slabs arrive through the
     double-buffered HBM->VMEM DMA pipeline of the bitmask-stream cumulative
@@ -262,7 +281,8 @@ def _records_tile_kernel_stream(
         slot = jax.lax.rem(k, nbuf)
         dma(slot, k).wait()
         cur = _records_slab_drain(pbuf[slot], seg_list[k], cur, rays_cols,
-                                  (idx_ref, intg_ref, dist_ref), cap=cap)
+                                  (idx_ref, intg_ref, dist_ref), cap=cap,
+                                  rank_method=rank_method, group=group)
 
         # Refill THIS slot only after its contents were consumed.
         @pl.when(k + nbuf < n)
@@ -278,7 +298,7 @@ def _records_tile_kernel_stream(
 @functools.partial(
     jax.jit,
     static_argnames=("per_ray_capacity", "tile", "interpret",
-                     "vmem_resident_limit"),
+                     "vmem_resident_limit", "rank_method", "group"),
 )
 def pallas_trace_sph_records(
     rays: Rays,
@@ -287,6 +307,8 @@ def pallas_trace_sph_records(
     tile: int = 64,
     interpret: bool = False,
     vmem_resident_limit: int = 40 * 1024 * 1024,
+    rank_method: str = "prefix",
+    group: int = 1,
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
     — see module docstring). per_ray_capacity must be a multiple of 128.
@@ -341,7 +363,8 @@ def pallas_trace_sph_records(
     if resident:
         prims3d = prims.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
         counts, idx, intg, dist = pl.pallas_call(
-            functools.partial(_records_tile_kernel, cap=cap),
+            functools.partial(_records_tile_kernel, cap=cap,
+                              rank_method=rank_method, group=group),
             out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -352,7 +375,8 @@ def pallas_trace_sph_records(
         )(masks[:, None, :], packed, prims3d)
     else:
         counts, idx, intg, dist = pl.pallas_call(
-            functools.partial(_records_tile_kernel_stream, cap=cap),
+            functools.partial(_records_tile_kernel_stream, cap=cap,
+                              rank_method=rank_method, group=group),
             out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],
