@@ -14,16 +14,18 @@ re-designs record emission around what the VPU does have:
     along axis=1) instead of a global segmented sort.
   * the kernel emits hits with a branch-free RANK drain: per primitive
     slab, an exclusive lane-prefix count of the hit mask assigns each hit
-    its within-slab rank once (7 shift-adds), and drain iteration i selects
-    the rank-i hit of every ray by a one-hot (rank == i) mask — a true
-    one-hot, so every payload pick is a plain masked lane sum and appends
-    land at cursor + i. Unlike a find-first-set drain (the r2 design),
-    iterations share NO serial state: the picks of all ranks pipeline
-    freely, and the scalar cursor-window bounds hoist to one computation
-    per slab instead of three scalar reduces per extracted hit. No dynamic
-    stores anywhere; every op is a full-shape vector op. Cost is
-    proportional to max-hits-per-slab over the tile's rays, which ray
-    coherence (spatial ray sort) keeps near the mean.
+    its within-slab rank once, and drain iteration i selects the rank-i
+    hit of every ray by a one-hot (rank == i) mask — a true one-hot, so
+    every payload pick is a plain masked lane sum and appends land at
+    cursor + i. No dynamic stores anywhere; every op is a full-shape
+    vector op. Cost is proportional to max-hits-per-slab over the tile's
+    rays, which ray coherence (spatial ray sort) keeps near the mean.
+    The rank computation (`rank_method`: Hillis-Steele shifted adds vs one
+    MXU matmul against a strict-lower-triangular ones matrix) and the
+    number of ranks drained per output-chunk read-modify-write window
+    (`group`) are tunable; defaults are the hardware-measured fastest
+    (prefix/1 — the W=8 MXU grouping measured 1.85x slower at bench scale,
+    218.5 vs 118 ms on the 38k-ray record workload).
   * ONE pass total: the cursor doubles as the hitcount, so the reference's
     separate hitcount pass + scan disappear. Per-ray overflow (count >
     capacity) drops writes but keeps counting — counts are always exact.

@@ -137,3 +137,22 @@ def test_sharded_splat_matches_single(rng):
                                  tile_w=4, tile_h=128, interpret=True)
     np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_splat_banded_deg8_matches_single(rng):
+    """The bench headline config (banded buckets + deg-8 basis) under the
+    row-sharded splat must equal the single-device render exactly."""
+    from grace_tpu.parallel.sharding import sharded_splat_render
+    from grace_tpu.trace.splat import bucket_prims_ortho, splat_image
+
+    spheres, _ = setup(rng, n=256)
+    buckets = bucket_prims_ortho(
+        spheres, (0.0, 0.0, -2.0), (0.0, 0.0, 0.0), (0, 1, 0), 2.6, 6.0,
+        128, 32, tile_w=4, tile_h=128, chunk=128, band=32)
+    img_s = splat_image(buckets, tile_w=4, tile_h=128, interpret=True,
+                        basis="deg8")
+    img_m = sharded_splat_render(make_mesh(4, 2), buckets,
+                                 tile_w=4, tile_h=128, interpret=True,
+                                 basis="deg8")
+    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
+                               rtol=1e-5, atol=1e-7)
