@@ -98,6 +98,114 @@ def _decode_seg_list(mask_ref, seg_list, n_words):
     return jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
 
 
+def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
+    """Intersect one (8, SEG) slab and append every hit via a shift-network
+    compaction — O(1) vector ops per slab, independent of the hit count,
+    with NO cross-lane reductions at all:
+
+      1. exclusive lane-prefix rank of the hit mask (7 shifted adds);
+      2. LSB-first bit-shift compaction: each hit moves left by
+         d = lane - rank, one masked static shift per bit. Because d is
+         non-decreasing along a ray's hits and targets are distinct, the
+         network is collision-free (verified exhaustively for all masks up
+         to 12 lanes in the round-3 build notes);
+      3. per-ray ROTATE right by cur mod SEG (7 masked static rotates), so
+         compacted hit j sits at output lane (cur + j) mod SEG;
+      4. one read-modify-write of the 1-2 output chunks in the tile's
+         cursor window merges every hit of the slab at once (the rank-loop
+         drains instead RMW per rank / rank group).
+
+    Cross-lane data movement is only static full-row shifts/rotates, which
+    Mosaic lowers without the reduce-latency serial chains that bound the
+    pick-based drains (measured: the picks' 3 reduces per extracted hit).
+    """
+    idx_ref, intg_ref, dist_ref = refs
+    ox, oy, oz, dx, dy, dz, ln = rays_cols
+    tile = ox.shape[0]
+    n_chunks = cap // SEG
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, SEG), 1)
+
+    px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+    inv_h2, h2 = slab[4:5, :], slab[5:6, :]
+    rx, ry, rz = px - ox, py - oy, pz - oz
+    dot = rx * dx + ry * dy + rz * dz
+    bx = rx - dot * dx
+    by = ry - dot * dy
+    bz = rz - dot * dz
+    b2 = bx * bx + by * by + bz * bz
+    hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
+    f = cubic_spline_line_integral_horner1(b2 * inv_h2) * inv_h2
+
+    # 1. exclusive rank (Hillis-Steele shifted adds).
+    m = hit.astype(jnp.int32)
+    inc = m
+    shift = 1
+    while shift < SEG:
+        inc = inc + jnp.concatenate(
+            [jnp.zeros((tile, shift), jnp.int32), inc[:, :-shift]], axis=1)
+        shift *= 2
+    rank = inc - m
+    m_cnt = inc[:, SEG - 1:SEG]
+
+    # 2. compaction network: payloads (integral, distance, prim lane id)
+    # ride together; rem tracks the remaining leftward distance.
+    occ = hit
+    rem = jnp.where(hit, lane - rank, 0)
+    vf, vd, vi = jnp.where(hit, f, 0.0), jnp.where(hit, dot, 0.0), lane
+    s = 1
+    while s < SEG:
+        moving = occ & ((rem & s) != 0)
+
+        def shl(x, fill):
+            return jnp.concatenate(
+                [x[:, s:], jnp.full((tile, s), fill, x.dtype)], axis=1)
+
+        inc_m = shl(moving, False)
+        vf = jnp.where(inc_m, shl(vf, 0), jnp.where(moving, 0.0, vf))
+        vd = jnp.where(inc_m, shl(vd, 0), jnp.where(moving, 0.0, vd))
+        vi = jnp.where(inc_m, shl(vi, 0), jnp.where(moving, 0, vi))
+        rem = jnp.where(inc_m, shl(rem, 0) - s, jnp.where(moving, 0, rem))
+        occ = inc_m | (occ & ~moving)
+        s *= 2
+
+    # 3. per-ray rotate right by cur mod SEG; valid caps both per-ray count
+    # and the global capacity (overflowed rays keep counting, drop writes).
+    rot = jax.lax.rem(cur, SEG)                      # (tile, 1)
+    valid = (lane < m_cnt) & (cur + lane < cap)
+    s = 1
+    while s < SEG:
+        bit = (rot & s) != 0
+
+        def ror(x):
+            return jnp.concatenate([x[:, SEG - s:], x[:, :SEG - s]], axis=1)
+
+        vf = jnp.where(bit, ror(vf), vf)
+        vd = jnp.where(bit, ror(vd), vd)
+        vi = jnp.where(bit, ror(vi), vi)
+        valid = jnp.where(bit, ror(valid), valid)
+        s *= 2
+    p_idx = seg * SEG + vi
+
+    # 4. one windowed RMW merges the whole slab: hit j of ray r lands in
+    # chunk (cur - rot)//SEG (unwrapped lanes, lane >= rot) or the next one
+    # (wrapped lanes, lane < rot).
+    base = cur - rot                                 # chunk-aligned (tile, 1)
+    has = m_cnt > 0
+    big = jnp.int32(cap + SEG)
+    cmin0 = jnp.min(jnp.where(has, cur, big))
+    cmax0 = jnp.max(jnp.where(has, jnp.minimum(cur + m_cnt - 1, cap - 1), -1))
+    for j in range(n_chunks):
+        @pl.when((cmin0 < (j + 1) * SEG) & (cmax0 >= j * SEG))
+        def _(j=j):
+            sl = slice(j * SEG, (j + 1) * SEG)
+            in_c = valid & jnp.where(
+                lane >= rot, base == j * SEG, base == (j - 1) * SEG)
+            idx_ref[:, sl] = jnp.where(in_c, p_idx, idx_ref[:, sl])
+            intg_ref[:, sl] = jnp.where(in_c, vf, intg_ref[:, sl])
+            dist_ref[:, sl] = jnp.where(in_c, vd, dist_ref[:, sl])
+    return cur + m_cnt
+
+
 def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
                         rank_method="mxu", group=8):
     """Intersect one (8, SEG) slab and append every hit to the record rows.
@@ -214,6 +322,7 @@ def _records_tile_kernel(
     cap: int,
     rank_method: str,
     group: int,
+    drain: str,
 ):
     tile = rays_ref.shape[0]
     rays_cols = _ray_columns(rays_ref)
@@ -231,6 +340,10 @@ def _records_tile_kernel(
 
     def seg_body(k, cur):
         seg = seg_list[k]
+        if drain == "network":
+            return _records_slab_drain_network(
+                prims_ref[seg], seg, cur, rays_cols,
+                (idx_ref, intg_ref, dist_ref), cap=cap)
         return _records_slab_drain(prims_ref[seg], seg, cur, rays_cols,
                                    (idx_ref, intg_ref, dist_ref), cap=cap,
                                    rank_method=rank_method, group=group)
@@ -254,6 +367,7 @@ def _records_tile_kernel_stream(
     cap: int,
     rank_method: str,
     group: int,
+    drain: str,
 ):
     """Streaming (any-scene-size) variant: listed slabs arrive through the
     double-buffered HBM->VMEM DMA pipeline of the bitmask-stream cumulative
@@ -282,9 +396,14 @@ def _records_tile_kernel_stream(
     def seg_body(k, cur):
         slot = jax.lax.rem(k, nbuf)
         dma(slot, k).wait()
-        cur = _records_slab_drain(pbuf[slot], seg_list[k], cur, rays_cols,
-                                  (idx_ref, intg_ref, dist_ref), cap=cap,
-                                  rank_method=rank_method, group=group)
+        if drain == "network":
+            cur = _records_slab_drain_network(
+                pbuf[slot], seg_list[k], cur, rays_cols,
+                (idx_ref, intg_ref, dist_ref), cap=cap)
+        else:
+            cur = _records_slab_drain(pbuf[slot], seg_list[k], cur, rays_cols,
+                                      (idx_ref, intg_ref, dist_ref), cap=cap,
+                                      rank_method=rank_method, group=group)
 
         # Refill THIS slot only after its contents were consumed.
         @pl.when(k + nbuf < n)
@@ -300,7 +419,7 @@ def _records_tile_kernel_stream(
 @functools.partial(
     jax.jit,
     static_argnames=("per_ray_capacity", "tile", "interpret",
-                     "vmem_resident_limit", "rank_method", "group"),
+                     "vmem_resident_limit", "rank_method", "group", "drain"),
 )
 def pallas_trace_sph_records(
     rays: Rays,
@@ -311,6 +430,7 @@ def pallas_trace_sph_records(
     vmem_resident_limit: int = 40 * 1024 * 1024,
     rank_method: str = "prefix",
     group: int = 1,
+    drain: str = "pick",
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
     — see module docstring). per_ray_capacity must be a multiple of 128.
@@ -366,7 +486,8 @@ def pallas_trace_sph_records(
         prims3d = prims.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
         counts, idx, intg, dist = pl.pallas_call(
             functools.partial(_records_tile_kernel, cap=cap,
-                              rank_method=rank_method, group=group),
+                              rank_method=rank_method, group=group,
+                              drain=drain),
             out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -378,7 +499,8 @@ def pallas_trace_sph_records(
     else:
         counts, idx, intg, dist = pl.pallas_call(
             functools.partial(_records_tile_kernel_stream, cap=cap,
-                              rank_method=rank_method, group=group),
+                              rank_method=rank_method, group=group,
+                              drain=drain),
             out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],

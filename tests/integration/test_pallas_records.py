@@ -175,3 +175,26 @@ def test_records_streaming_matches_resident(rng):
     assert bool(jnp.all(rec_r.indices == rec_s.indices))
     assert bool(jnp.all(rec_r.integrals == rec_s.integrals))
     assert bool(jnp.all(rec_r.distances == rec_s.distances))
+
+
+def test_network_drain_matches_pick(rng):
+    """The shift-network compaction drain must produce byte-identical
+    records to the pick drain (both resident and forced-streaming), incl.
+    per-ray capacity overflow."""
+    ss, tree, rays = setup(rng)
+    base = pallas_trace_sph_records(rays, ss, per_ray_capacity=256, tile=32,
+                                    interpret=True)
+    for kw in (dict(), dict(vmem_resident_limit=1024)):
+        rec = pallas_trace_sph_records(rays, ss, per_ray_capacity=256,
+                                       tile=32, interpret=True,
+                                       drain="network", **kw)
+        for a, b in zip(rec, base):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+    # overflow: tighter capacity keeps exact counts, valid prefix identical
+    rec = pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
+                                   interpret=True, drain="network")
+    assert np.array_equal(np.asarray(rec.counts), np.asarray(base.counts))
+    nv = np.minimum(np.asarray(rec.counts), 128)
+    got, want = np.asarray(rec.indices), np.asarray(base.indices)
+    for r in range(got.shape[0]):
+        assert np.array_equal(got[r, :nv[r]], want[r, :nv[r]])
