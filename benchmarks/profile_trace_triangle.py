@@ -1,6 +1,7 @@
 """Triangle-mesh trace profiler (analog of ref tests/profile_trace_triangle/
 profile_trace_triangle.cu:24-186: multi-camera pinhole ray gen + closest-hit
-traversal timing + permanent-memory report).
+traversal timing + permanent-memory report; the tree-build stage also covers
+ref tests/profile_tree_triangle).
 
 Usage: python benchmarks/profile_trace_triangle.py [mesh.ply] [n_side] [cams]
 
@@ -67,6 +68,13 @@ def main():
            + n_rays * 8)
     print(f"permanent trace memory: {mem / 2**30:.3f} GiB "
           f"(tris + tree + rays + results)")
+
+    def build_body(i, acc):
+        st, _, _ = build_triangle_tree(tris + acc * 1e-38, 8)
+        return acc + st[0, 0, 0] * 1e-38 + 1.0
+
+    t_build = bench.device_frame_ms(build_body, k1=1, k2=5)
+    print(f"triangle tree build:        {t_build:8.3f} ms")
 
     gen = jax.jit(lambda c: pinhole_camera_rays(
         n_side, n_side, c, look_at, (0.0, 1.0, 0.0), jnp.pi / 3, length))

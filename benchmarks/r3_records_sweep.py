@@ -1,6 +1,12 @@
-"""Round-3 record-kernel drain sweep on real TPU: rank method (prefix vs
-MXU matmul) x drain group width x ray tile, on the 38k-ray bench-scene
-per-hit workload (r2 one-rank prefix drain: 118 ms)."""
+"""Round-3 record-kernel drain sweep on real TPU: pick (prefix/group) vs
+shift-network compaction drains, on the 38k-ray bench-scene per-hit
+workload (r2 one-rank prefix pick drain: 118 ms).
+
+Usage: python benchmarks/r3_records_sweep.py <config> [...]
+  where config is drain:tile, e.g. pick:64 network:64 network:32
+Run few configs per process (each compile is ~1-2 min; a process that
+times out loses its results).
+"""
 
 import pathlib
 import sys
@@ -10,7 +16,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def main():
+def main(configs):
     import jax
     import jax.numpy as jnp
     import bench
@@ -28,26 +34,26 @@ def main():
     rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
     hc = trace_hitcounts_sph(rays_s, ss, tree)
 
-    for rm, g, tile in (("prefix", 1, 64), ("prefix", 4, 64), ("mxu", 4, 64),
-                        ("prefix", 2, 64), ("prefix", 4, 128),
-                        ("prefix", 4, 32)):
+    for cfg in configs:
+        drain, tile = cfg.split(":")
+        tile = int(tile)
         rec = pallas_trace_sph_records(rays_s, ss, per_ray_capacity=512,
-                                       tile=tile, rank_method=rm, group=g)
+                                       tile=tile, drain=drain)
         ok = bool(jnp.all(rec.counts == hc))
         if not ok:
-            print(f"{rm} g={g} tile={tile}: PARITY FAIL", flush=True)
+            print(f"{cfg}: PARITY FAIL", flush=True)
             continue
 
-        def body(i, acc, rm=rm, g=g, tile=tile):
+        def body(i, acc, drain=drain, tile=tile):
             rr = Rays(rays_s.origins, rays_s.directions,
                       rays_s.lengths + acc * 1e-38)
             rec = pallas_trace_sph_records(rr, ss, per_ray_capacity=512,
-                                           tile=tile, rank_method=rm, group=g)
+                                           tile=tile, drain=drain)
             return acc + rec.integrals[0, 0] * 1e-38 + 1.0
 
         ms = bench.device_frame_ms(body, k1=1, k2=4)
-        print(f"{rm} g={g} tile={tile}: {ms:.1f} ms", flush=True)
+        print(f"{cfg}: {ms:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])
