@@ -30,6 +30,11 @@ from grace_tpu.trace.sph import (
 
 from grace_tpu.rays import gen as ray_gen
 from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+from grace_tpu.trace.pallas_records import (
+    RecordTraceResult,
+    pallas_trace_sph_records,
+    sort_records_by_distance,
+)
 from grace_tpu.trace.render import render_column_density
 from grace_tpu.trace.splat import render_ortho_splat
 from grace_tpu.trace.splat_grad import OrthoCamera, make_splat_trainer

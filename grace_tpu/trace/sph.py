@@ -94,6 +94,7 @@ def trace_sph(
     engine: str = "xla",
     per_ray_capacity: int = 256,
     interpret: bool = False,
+    drain: str = "pick",
 ) -> SphTraceResult:
     """Two-pass per-hit trace (ref: trace_sph.cuh:111-168).
 
@@ -117,7 +118,7 @@ def trace_sph(
         )
 
         rec = pallas_trace_sph_records(rays, spheres, per_ray_capacity,
-                                       interpret=interpret)
+                                       interpret=interpret, drain=drain)
         offsets, _, indices, integrals, distances = records_to_flat(
             rec, capacity)
         return SphTraceResult(
@@ -176,6 +177,7 @@ def trace_with_sentinels_sph(
     engine: str = "xla",
     per_ray_capacity: int = 256,
     interpret: bool = False,
+    drain: str = "pick",
 ) -> SphTraceResult:
     """Per-hit trace with one sentinel entry appended per ray segment
     (ref: trace_sph.cuh:170-241). Segment r occupies
@@ -189,7 +191,7 @@ def trace_with_sentinels_sph(
         )
 
         rec = pallas_trace_sph_records(rays, spheres, per_ray_capacity,
-                                       interpret=interpret)
+                                       interpret=interpret, drain=drain)
         offsets, counts, indices, integrals, distances = records_to_flat(
             rec, capacity, index_sentinel=index_sentinel,
             value_sentinel=value_sentinel,
