@@ -148,30 +148,42 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
     m_cnt = inc[:, SEG - 1:SEG]
 
     # 2. compaction network: payloads (integral, distance, prim lane id)
-    # ride together; rem tracks the remaining leftward distance.
-    occ = hit
+    # ride together; rem tracks the remaining leftward distance. Masks are
+    # int32 0/1, NOT bool: shifting/selecting bool vectors makes Mosaic emit
+    # an i8->i1 `arith.trunci` it cannot lower ("Unsupported target bitwidth
+    # for truncation") — bools here exist only as immediately-consumed
+    # comparisons.
+    # vi MUST be hit-masked, not the raw iota: statically shifting a bare
+    # iota constant (concat of iota[:, s:]) SIGABRTs the TPU backend
+    # ("Check failed: limits[i] <= dim(i) (8 vs. 1)", jellyfish
+    # LoweringEmitter) — constant-folding of shifted iotas is broken.
+    # Non-hit lanes' vi are masked by `valid`/`in_c` downstream anyway.
+    occ = m                                          # int32 0/1
     rem = jnp.where(hit, lane - rank, 0)
-    vf, vd, vi = jnp.where(hit, f, 0.0), jnp.where(hit, dot, 0.0), lane
+    vf, vd = jnp.where(hit, f, 0.0), jnp.where(hit, dot, 0.0)
+    vi = jnp.where(hit, lane, 0)
     s = 1
     while s < SEG:
-        moving = occ & ((rem & s) != 0)
+        moving = jnp.where((rem & s) != 0, occ, 0)
 
-        def shl(x, fill):
+        def shl(x):
             return jnp.concatenate(
-                [x[:, s:], jnp.full((tile, s), fill, x.dtype)], axis=1)
+                [x[:, s:], jnp.zeros((tile, s), x.dtype)], axis=1)
 
-        inc_m = shl(moving, False)
-        vf = jnp.where(inc_m, shl(vf, 0), jnp.where(moving, 0.0, vf))
-        vd = jnp.where(inc_m, shl(vd, 0), jnp.where(moving, 0.0, vd))
-        vi = jnp.where(inc_m, shl(vi, 0), jnp.where(moving, 0, vi))
-        rem = jnp.where(inc_m, shl(rem, 0) - s, jnp.where(moving, 0, rem))
-        occ = inc_m | (occ & ~moving)
+        inc_m = shl(moving)
+        inc_b = inc_m != 0
+        mov_b = moving != 0
+        vf = jnp.where(inc_b, shl(vf), jnp.where(mov_b, 0.0, vf))
+        vd = jnp.where(inc_b, shl(vd), jnp.where(mov_b, 0.0, vd))
+        vi = jnp.where(inc_b, shl(vi), jnp.where(mov_b, 0, vi))
+        rem = jnp.where(inc_b, shl(rem) - s, jnp.where(mov_b, 0, rem))
+        occ = inc_m | (occ & (1 - moving))
         s *= 2
 
     # 3. per-ray rotate right by cur mod SEG; valid caps both per-ray count
     # and the global capacity (overflowed rays keep counting, drop writes).
     rot = jax.lax.rem(cur, SEG)                      # (tile, 1)
-    valid = (lane < m_cnt) & (cur + lane < cap)
+    valid = jnp.where((lane < m_cnt) & (cur + lane < cap), 1, 0)
     s = 1
     while s < SEG:
         bit = (rot & s) != 0
@@ -198,8 +210,10 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
         @pl.when((cmin0 < (j + 1) * SEG) & (cmax0 >= j * SEG))
         def _(j=j):
             sl = slice(j * SEG, (j + 1) * SEG)
-            in_c = valid & jnp.where(
-                lane >= rot, base == j * SEG, base == (j - 1) * SEG)
+            # target chunk as int select (bool-valued selects trip Mosaic's
+            # i8->i1 truncation, see step-2 comment).
+            tgt = jnp.where(lane >= rot, j * SEG, (j - 1) * SEG)
+            in_c = (valid != 0) & (base == tgt)
             idx_ref[:, sl] = jnp.where(in_c, p_idx, idx_ref[:, sl])
             intg_ref[:, sl] = jnp.where(in_c, vf, intg_ref[:, sl])
             dist_ref[:, sl] = jnp.where(in_c, vd, dist_ref[:, sl])

@@ -99,7 +99,8 @@ def _tri_kernel(n_segs_ref, segs_ref, rays_ref, tris_ref, t_ref, id_ref, *, mode
     tile = rays_ref.shape[0]
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
     n = n_segs_ref[0, 0, 0]
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, SEG), 1)
+    # int32 iota + cast: Mosaic rejects float tpu.iota on hardware.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1).astype(jnp.float32)
 
     def body(k, carry):
         t_min, tri_id = carry

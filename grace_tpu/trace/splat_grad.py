@@ -182,10 +182,14 @@ def _sortfree_fwd_kernel(
     dy = coord_ref[0, 0, 3]
     row0 = (t_id // ntx) * tw
     col0 = jax.lax.rem(t_id, ntx) * th
+    # Mosaic rejects float tpu.iota (hardware-only failure; interpret mode
+    # accepts it) — generate int32 and cast.
     ys = y0 + (row0.astype(jnp.float32)
-               + jax.lax.broadcasted_iota(jnp.float32, (tw, 1), 0)) * dy
+               + jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+               .astype(jnp.float32)) * dy
     xs = x0 + (col0.astype(jnp.float32)
-               + jax.lax.broadcasted_iota(jnp.float32, (th, 1), 0)) * dx
+               + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+               .astype(jnp.float32)) * dx
     dn = (((1,), (1,)), ((), ()))
 
     def word_body(w, n):
@@ -283,8 +287,11 @@ def _sortfree_bwd_kernel(
     dx = coord_ref[0, 0, 1]
     y0 = coord_ref[0, 0, 2]
     dy = coord_ref[0, 0, 3]
-    iota_w = jax.lax.broadcasted_iota(jnp.float32, (tile_w, 1), 0)
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (tile_h, 1), 0)
+    # int32 iota + cast: Mosaic rejects float tpu.iota on hardware.
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0).astype(
+        jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0).astype(
+        jnp.float32)
     # Contraction specs: Gt x A over the row (sublane) dim of both.
     dn_rows = (((0,), (0,)), ((), ()))   # G (TW, TH) x A (TW, P) -> (TH, P)
     dn_cols = (((1,), (0,)), ((), ()))   # G (TW, TH) x B (TH, P) -> (TW, P)
