@@ -221,7 +221,7 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
 
 
 def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
-                        rank_method="mxu", group=8):
+                        rank_method="prefix", group=1):
     """Intersect one (8, SEG) slab and append every hit to the record rows.
 
     Returns the updated cursor. See module docstring: hits are drained by
@@ -288,7 +288,7 @@ def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
     # read-modified-written ONCE per group.
     W = group
 
-    def group(g, _):
+    def drain_group(g, _):
         base = g * W
         picks = []
         for w in range(W):
@@ -319,7 +319,7 @@ def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
                 dist_ref[:, sl] = c_dst
         return 0
 
-    jax.lax.fori_loop(0, (n_extract + W - 1) // W, group, 0)
+    jax.lax.fori_loop(0, (n_extract + W - 1) // W, drain_group, 0)
     return cur + m_cnt
 
 
@@ -457,6 +457,12 @@ def pallas_trace_sph_records(
     same sorted sphere array."""
     if per_ray_capacity % 128:
         raise ValueError("per_ray_capacity must be a multiple of 128 lanes")
+    if drain not in ("pick", "network"):
+        raise ValueError(f"unknown drain {drain!r} (expected 'pick' or "
+                         "'network')")
+    if rank_method not in ("prefix", "mxu"):
+        raise ValueError(f"unknown rank_method {rank_method!r} (expected "
+                         "'prefix' or 'mxu')")
     n_rays = rays.n_rays
     pad = (-n_rays) % tile
     if pad:

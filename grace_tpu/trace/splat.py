@@ -86,6 +86,10 @@ def _sorted_first_counts(key_s: jax.Array, n_keys: int,
     scale.)
     """
     n = key_s.shape[0]
+    if n == 0:
+        # Degenerate: gathering ck[min(0, m-1)] from a (0, chunk) array is
+        # ill-defined; every count is trivially zero.
+        return jnp.zeros(n_keys + 1, jnp.int32)
     pad = (-n) % chunk
     big = jnp.asarray(np.iinfo(np.int32).max, key_s.dtype)
     ks = jnp.pad(key_s, (0, pad), constant_values=big)
@@ -439,19 +443,27 @@ def render_ortho_splat(
     resolution_x: int,
     resolution_y: int,
     weights: jax.Array | None = None,
-    tile_w: int = 64,
+    tile_w: int = 32,
     tile_h: int = 128,
     chunk: int = 512,
     interpret: bool = False,
     matmul_dtype=jnp.float32,
-    band: int | None = None,
+    band: int | None = 32,
+    basis: str = "deg8",
 ):
     """One-call orthographic column-density render.
 
     Returns (image f32[H, W], overflow bool[]). image[j, i] equals (to the
-    basis-fit tolerance, ~1e-4 relative) trace_cumulative_sph over
+    basis-fit tolerance, a few 1e-4 relative) trace_cumulative_sph over
     orthographic_projection_rays with identical camera parameters, ray
     index j * W + i.
+
+    Defaults reproduce the measured-fastest configuration (round-3/4
+    hardware sweeps, benchmarks/results/): 32x128 tiles in 32-column
+    bands, 512-instance chunks, jointly-fit deg-8 basis — the headline
+    >= 1e8 rays/s/chip setup. ``basis="deg10"`` trades ~15% frame time
+    for the tighter per-eigenvector fit (~1e-4 max rel err vs ~3.1e-4);
+    ``band=None`` means whole-tile bucketing (no column bands).
     """
     buckets = bucket_prims_ortho(
         spheres, camera_position, look_at, view_up, vertical_extent, length,
@@ -459,5 +471,6 @@ def render_ortho_splat(
         weights=weights, band=band,
     )
     img = splat_image(buckets, tile_w=tile_w, tile_h=tile_h,
-                      interpret=interpret, matmul_dtype=matmul_dtype)
+                      interpret=interpret, matmul_dtype=matmul_dtype,
+                      basis=basis)
     return img, buckets.overflow

@@ -10,6 +10,7 @@ records.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -198,3 +199,33 @@ def test_network_drain_matches_pick(rng):
     got, want = np.asarray(rec.indices), np.asarray(base.indices)
     for r in range(got.shape[0]):
         assert np.array_equal(got[r, :nv[r]], want[r, :nv[r]])
+
+
+def test_rank_method_group_parity(rng):
+    """Every (rank_method, group) re-parametrization of the pick drain must
+    reproduce the default prefix/1 records exactly (the sweep configs are
+    kept selectable for hardware measurement — ADVICE r3)."""
+    ss, tree, rays = setup(rng, n=300, r=64)
+    base = pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
+                                    interpret=True)
+    for rank_method in ("prefix", "mxu"):
+        for group in (1, 8):
+            if (rank_method, group) == ("prefix", 1):
+                continue
+            rec = pallas_trace_sph_records(rays, ss, per_ray_capacity=128,
+                                           tile=32, interpret=True,
+                                           rank_method=rank_method,
+                                           group=group)
+            for a, b in zip(rec, base):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    rank_method, group)
+
+
+def test_bad_drain_and_rank_method_raise(rng):
+    ss, tree, rays = setup(rng, n=300, r=64)
+    with pytest.raises(ValueError, match="drain"):
+        pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
+                                 interpret=True, drain="netwrok")
+    with pytest.raises(ValueError, match="rank_method"):
+        pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
+                                 interpret=True, rank_method="mxuu")

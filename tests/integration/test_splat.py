@@ -184,3 +184,6 @@ def test_sorted_first_counts(rng):
     got = np.asarray(_sorted_first_counts(jnp.zeros(2048, jnp.int32), 3,
                                           chunk=1024))
     assert (got == np.array([0, 2048, 2048, 2048])).all()
+    # n == 0 (empty key array): all counts zero
+    got = np.asarray(_sorted_first_counts(jnp.zeros(0, jnp.int32), 3))
+    assert (got == np.zeros(4, np.int32)).all()
