@@ -35,20 +35,22 @@ def main(configs):
     hc = trace_hitcounts_sph(rays_s, ss, tree)
 
     for cfg in configs:
-        drain, tile = cfg.split(":")
-        tile = int(tile)
-        rec = pallas_trace_sph_records(rays_s, ss, per_ray_capacity=512,
-                                       tile=tile, drain=drain)
+        parts = cfg.split(":")
+        drain, tile = parts[0], int(parts[1])
+        rank_method = parts[2] if len(parts) > 2 else "prefix"
+        group = int(parts[3]) if len(parts) > 3 else 1
+        kw = dict(per_ray_capacity=512, tile=tile, drain=drain,
+                  rank_method=rank_method, group=group)
+        rec = pallas_trace_sph_records(rays_s, ss, **kw)
         ok = bool(jnp.all(rec.counts == hc))
         if not ok:
             print(f"{cfg}: PARITY FAIL", flush=True)
             continue
 
-        def body(i, acc, drain=drain, tile=tile):
+        def body(i, acc, kw=kw):
             rr = Rays(rays_s.origins, rays_s.directions,
                       rays_s.lengths + acc * 1e-38)
-            rec = pallas_trace_sph_records(rr, ss, per_ray_capacity=512,
-                                           tile=tile, drain=drain)
+            rec = pallas_trace_sph_records(rr, ss, **kw)
             return acc + rec.integrals[0, 0] * 1e-38 + 1.0
 
         ms = bench.device_frame_ms(body, k1=1, k2=4)

@@ -23,9 +23,12 @@ re-designs record emission around what the VPU does have:
     The rank computation (`rank_method`: Hillis-Steele shifted adds vs one
     MXU matmul against a strict-lower-triangular ones matrix) and the
     number of ranks drained per output-chunk read-modify-write window
-    (`group`) are tunable; defaults are the hardware-measured fastest
-    (prefix/1 — the W=8 MXU grouping measured 1.85x slower at bench scale,
-    218.5 vs 118 ms on the 38k-ray record workload).
+    (`group`) are tunable; defaults are the hardware-measured fastest:
+    MXU ranks with W=8 grouped RMW (round-4 sweep on the 38k-ray record
+    workload: mxu/8 217 ms vs prefix/8 267, network 262, mxu/1 365,
+    prefix/1 413 — the round-3 note calling mxu/8 "1.85x slower" compared
+    against a stale r2 number from a since-replaced min-extraction drain;
+    see benchmarks/results/r4_records_sweep.md).
   * ONE pass total: the cursor doubles as the hitcount, so the reference's
     separate hitcount pass + scan disappear. Per-ray overflow (count >
     capacity) drops writes but keeps counting — counts are always exact.
@@ -221,7 +224,7 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
 
 
 def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
-                        rank_method="prefix", group=1):
+                        rank_method="mxu", group=8):
     """Intersect one (8, SEG) slab and append every hit to the record rows.
 
     Returns the updated cursor. See module docstring: hits are drained by
@@ -442,8 +445,8 @@ def pallas_trace_sph_records(
     tile: int = 64,
     interpret: bool = False,
     vmem_resident_limit: int = 40 * 1024 * 1024,
-    rank_method: str = "prefix",
-    group: int = 1,
+    rank_method: str = "mxu",
+    group: int = 8,
     drain: str = "pick",
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
