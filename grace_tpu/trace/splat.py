@@ -464,6 +464,12 @@ def render_ortho_splat(
     >= 1e8 rays/s/chip setup. ``basis="deg10"`` trades ~15% frame time
     for the tighter per-eigenvector fit (~1e-4 max rel err vs ~3.1e-4);
     ``band=None`` means whole-tile bucketing (no column bands).
+
+    STATIC vs MOVING scenes: the bucket prep (instance sort) costs
+    ~12.7 ms at bench scale and is amortized only while the (scene,
+    camera) pair is unchanged; when particles or the camera move every
+    frame, use splat_grad.splat_forward_sortfree (11.2 ms all-in per
+    frame, differentiable) instead of this 12.7 + 2.2 ms pipeline.
     """
     buckets = bucket_prims_ortho(
         spheres, camera_position, look_at, view_up, vertical_extent, length,

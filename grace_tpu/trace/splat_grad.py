@@ -46,14 +46,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grace_tpu.ops.vecmath import cross, normalize3
 from grace_tpu.sph.kernel_integrals import (
+    SPLAT_A8_COEFFS,
     SPLAT_A_COEFFS,
+    SPLAT_B8_COEFFS,
     SPLAT_B_COEFFS,
     SPLAT_DEG,
+    SPLAT_DEG8,
     SPLAT_RANK,
 )
 from grace_tpu.trace.splat import _camera_frame, _factor
 
 SEG = 128  # particles per Morton segment = slab lane width
+
+
+def _basis_coeffs(basis: str):
+    """(deg, a_coeffs, b_coeffs) for a named separable basis fit:
+    "deg10" (per-eigenvector, ~1e-4 max rel err) or "deg8" (joint fit,
+    ~3.1e-4, ~20% less VPU factor work — the headline inference basis)."""
+    try:
+        deg, a_c, b_c = {
+            "deg10": (SPLAT_DEG, SPLAT_A_COEFFS, SPLAT_B_COEFFS),
+            "deg8": (SPLAT_DEG8, SPLAT_A8_COEFFS, SPLAT_B8_COEFFS),
+        }[basis]
+    except KeyError:
+        raise ValueError(f"unknown basis {basis!r} (expected 'deg10' or "
+                         "'deg8')") from None
+    return deg, np.asarray(a_c, np.float32), np.asarray(b_c, np.float32)
 
 
 class OrthoCamera(NamedTuple):
@@ -364,20 +382,29 @@ def _sortfree_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "tile_w", "tile_h", "interpret"),
+    static_argnames=("cam", "tile_w", "tile_h", "interpret", "basis"),
 )
 def splat_forward_sortfree(
     spheres, weights, cam: OrthoCamera,
     tile_w: int = 32, tile_h: int = 128,
     interpret: bool = False,
+    basis: str = "deg8",
 ):
     """Sort-free orthographic splat render: f32 image [H, W].
 
-    Prep is projection + bitmask cull only (~1 ms at bench scale) — no
-    instance sort; the right forward for moving cameras and training steps.
+    Prep is projection + bitmask cull only — no instance sort; the right
+    forward for moving cameras/scenes and training steps. Full frame
+    (prep + render, one jit, TPU v5e, bench scale: 1M sorted particles,
+    512x512): 11.2 ms deg8 / 12.5-13.6 ms deg10, vs 12.7 ms prep + 2.2 ms
+    render for the bucketed path — use trace/splat.py when the (scene,
+    camera) pair repays its prep across many frames, this when it changes
+    every frame. Particles should be Morton-sorted (build_sph_tree
+    order): the segment-bbox cull degrades to all-tiles-x-all-segments on
+    unsorted input (measured 17x slower).
     """
     if cam.resolution_x % tile_h or cam.resolution_y % tile_w:
         raise ValueError("resolution must be a multiple of the tile shape")
+    deg, a_c, b_c = _basis_coeffs(basis)
     pu, pv, invh, scale = project_ortho(spheres, weights, cam)
     slabs = pack_proj_slabs(pu, pv, invh, scale)
     overlap = projected_overlap(pu, pv, invh, scale, cam, tile_w, tile_h)
@@ -391,9 +418,8 @@ def splat_forward_sortfree(
     n_tiles = ntx * nty
 
     kernel = functools.partial(
-        _sortfree_fwd_kernel, ntx=ntx, rank=SPLAT_RANK, deg=SPLAT_DEG,
-        a_coeffs=np.asarray(SPLAT_A_COEFFS, np.float32),
-        b_coeffs=np.asarray(SPLAT_B_COEFFS, np.float32),
+        _sortfree_fwd_kernel, ntx=ntx, rank=SPLAT_RANK, deg=deg,
+        a_coeffs=a_c, b_coeffs=b_c,
     )
     return pl.pallas_call(
         kernel,
@@ -418,12 +444,13 @@ def splat_forward_sortfree(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "tile_w", "tile_h", "interpret"),
+    static_argnames=("cam", "tile_w", "tile_h", "interpret", "basis"),
 )
 def splat_backward_sortfree(
     spheres, weights, g_image, cam: OrthoCamera,
     tile_w: int = 32, tile_h: int = 128,
     interpret: bool = False,
+    basis: str = "deg8",
 ):
     """Segment-major splat backward: (g_spheres f32[n, 4], g_weights f32[n]).
 
@@ -447,11 +474,11 @@ def splat_backward_sortfree(
     *_, x0, dx, y0, dy = _camera_numerics(cam)
     coords = jnp.stack([x0, dx, y0, dy]).reshape(1, 1, 4)
 
+    deg, a_c, b_c = _basis_coeffs(basis)
     kernel = functools.partial(
         _sortfree_bwd_kernel, ntx=ntx, tile_w=tile_w, tile_h=tile_h,
-        rank=SPLAT_RANK, deg=SPLAT_DEG,
-        a_coeffs=np.asarray(SPLAT_A_COEFFS, np.float32),
-        b_coeffs=np.asarray(SPLAT_B_COEFFS, np.float32),
+        rank=SPLAT_RANK, deg=deg,
+        a_coeffs=a_c, b_coeffs=b_c,
     )
     grad = pl.pallas_call(
         kernel,
@@ -501,7 +528,7 @@ def splat_backward_sortfree(
 
 
 def make_splat_trainer(cam: OrthoCamera, tile_w: int = 32, tile_h: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, basis: str = "deg8"):
     """custom_vjp orthographic splat renderer: MXU forward AND backward.
 
     render(spheres, weights) -> image f32[H, W]; gradients flow to particle
@@ -515,7 +542,7 @@ def make_splat_trainer(cam: OrthoCamera, tile_w: int = 32, tile_h: int = 128,
     def render(spheres, weights):
         return splat_forward_sortfree(spheres, weights, cam,
                                       tile_w=tile_w, tile_h=tile_h,
-                                      interpret=interpret)
+                                      interpret=interpret, basis=basis)
 
     def fwd(spheres, weights):
         return render(spheres, weights), (spheres, weights)
@@ -524,28 +551,28 @@ def make_splat_trainer(cam: OrthoCamera, tile_w: int = 32, tile_h: int = 128,
         spheres, weights = res
         gs, gw = splat_backward_sortfree(
             spheres, weights, g, cam, tile_w=tile_w, tile_h=tile_h,
-            interpret=interpret)
+            interpret=interpret, basis=basis)
         return gs, gw
 
     render.defvjp(fwd, bwd)
     return render
 
 
-def splat_reference_jnp(spheres, weights, cam: OrthoCamera):
+def splat_reference_jnp(spheres, weights, cam: OrthoCamera,
+                        basis: str = "deg8"):
     """Pure-jnp evaluation of the IDENTICAL separable model (same fitted
     coefficients, same clamps) — the differentiable oracle the Pallas
     forward/backward kernels are tested against. O(n_pixels * n) dense;
     tiny scenes only."""
+    deg, a_c, b_c = _basis_coeffs(basis)
     pu, pv, invh, scale = project_ortho(spheres, weights, cam)
     *_, x0, dx, y0, dy = _camera_numerics(cam)
     xs = x0 + jnp.arange(cam.resolution_x, dtype=jnp.float32) * dx
     ys = y0 + jnp.arange(cam.resolution_y, dtype=jnp.float32) * dy
     ya = (ys[:, None] - pv[None, :]) * invh[None, :]       # (H, n)
     xb = (xs[:, None] - pu[None, :]) * invh[None, :]       # (W, n)
-    a_f = _factor(jnp.minimum(ya * ya, 1.0),
-                  np.asarray(SPLAT_A_COEFFS, np.float32), SPLAT_DEG)
-    b_f = _factor(jnp.minimum(xb * xb, 1.0),
-                  np.asarray(SPLAT_B_COEFFS, np.float32), SPLAT_DEG)
+    a_f = _factor(jnp.minimum(ya * ya, 1.0), a_c, deg)
+    b_f = _factor(jnp.minimum(xb * xb, 1.0), b_c, deg)
     img = jnp.zeros((cam.resolution_y, cam.resolution_x), jnp.float32)
     for k in range(SPLAT_RANK):
         img = img + a_f[k] @ (b_f[k] * scale[None, :]).T

@@ -63,8 +63,7 @@ def test_sortfree_forward_matches_bucketed_splat(rng):
     img_b, ovf = render_ortho_splat(
         spheres, CAM.camera_position, CAM.look_at, CAM.view_up,
         CAM.vertical_extent, CAM.length, CAM.resolution_x, CAM.resolution_y,
-        weights=w, tile_w=16, tile_h=128, chunk=128, interpret=True,
-        basis="deg10")  # sortfree fwd uses the deg-10 basis; match it
+        weights=w, tile_w=16, tile_h=128, chunk=128, interpret=True)
     assert not bool(ovf)
     scale = float(jnp.max(jnp.abs(img_b)))
     np.testing.assert_allclose(np.array(img), np.array(img_b),
