@@ -64,8 +64,9 @@ def main():
     ]
 
     print(f"rays: {n_rays} ({n_side}x{n_side}), cameras: {n_cams}")
-    mem = (sorted_tris.size * 4 + tree.nodes.size * 4 + n_rays * 16 * 4
-           + n_rays * 8)
+    tree_bytes = 4 * (tree.children.size + tree.child_aabbs.size
+                      + tree.leaves.size)
+    mem = sorted_tris.size * 4 + tree_bytes + n_rays * 16 * 4 + n_rays * 8
     print(f"permanent trace memory: {mem / 2**30:.3f} GiB "
           f"(tris + tree + rays + results)")
 
@@ -93,7 +94,8 @@ def main():
     def closest_pallas_body(i, acc):
         rr = Rays(rays0.origins, rays0.directions, rays0.lengths + acc * 1e-38)
         t, _, _ = pallas_trace_tri(rr, sorted_tris, mode="closest")
-        return acc + t[0] * 1e-38 + 1.0
+        probe = jnp.min(jnp.where(jnp.isfinite(t), t, 0.0))
+        return acc + probe * 1e-38 + 1.0
 
     t_closest = bench.device_frame_ms(closest_pallas_body, k1=1, k2=5)
     print(f"closest-hit (fused Pallas): {t_closest:8.3f} ms "
@@ -121,7 +123,7 @@ def main():
         for r in rays_per_cam:
             rr = Rays(r.origins, r.directions, r.lengths + acc * 1e-38)
             t, _, _ = pallas_trace_tri(rr, sorted_tris, mode="closest")
-            acc = acc + t[0] * 1e-38
+            acc = acc + jnp.min(jnp.where(jnp.isfinite(t), t, 0.0)) * 1e-38
         return acc + 1.0
 
     t_all = bench.device_frame_ms(all_body, k1=1, k2=4)
