@@ -79,6 +79,13 @@ def gate_trace_bitmask_stream():
              SPHERES)
 
 
+def gate_trace_quarter():
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    _compile(lambda s: pallas_trace_sph(_rays(), s, broadphase="quarter",
+                                        tile=64), SPHERES)
+
+
 def gate_trace_hitcount():
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 
@@ -218,6 +225,7 @@ GATES = [
     ("trace/bitmask-resident", gate_trace_bitmask_resident),
     ("trace/bitmask-stream", gate_trace_bitmask_stream),
     ("trace/bitmask-hitcount", gate_trace_hitcount),
+    ("trace/quarter", gate_trace_quarter),
     ("trace/list-resident", gate_trace_list_resident),
     ("trace/list-stream", gate_trace_list_stream),
     ("trace/subtiled", gate_trace_subtiled),

@@ -38,16 +38,19 @@ from grace_tpu.trace.broadphase import tile_aabbs
 SEG = 128
 
 
-def segment_aabbs(spheres: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """AABBs of each 128-primitive segment of the sorted particle array."""
+def segment_aabbs(spheres: jax.Array,
+                  block: int = SEG) -> Tuple[jax.Array, jax.Array]:
+    """AABBs of each ``block``-primitive segment of the sorted particle
+    array. ``block`` must divide SEG (the padded length is always a SEG
+    multiple so finer blocks tile it exactly)."""
     n = spheres.shape[0]
     n_pad = ((n + SEG - 1) // SEG) * SEG
     mins, maxs = sphere_aabb(spheres)
     big = jnp.finfo(jnp.float32).max
     mins = jnp.pad(mins, ((0, n_pad - n), (0, 0)), constant_values=big)
     maxs = jnp.pad(maxs, ((0, n_pad - n), (0, 0)), constant_values=-big)
-    seg_min = jnp.min(mins.reshape(-1, SEG, 3), axis=1)
-    seg_max = jnp.max(maxs.reshape(-1, SEG, 3), axis=1)
+    seg_min = jnp.min(mins.reshape(-1, block, 3), axis=1)
+    seg_max = jnp.max(maxs.reshape(-1, block, 3), axis=1)
     return seg_min, seg_max
 
 
@@ -116,18 +119,49 @@ def dense_tile_masks(
     return masks_for_tile_aabbs(tmin, tmax, spheres, seg_block)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "seg_block"))
+def dense_tile_masks_quarter(
+    rays: Rays,
+    spheres: jax.Array,
+    tile: int,
+    seg_block: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quarter-granularity bitmask broadphase for the seg-32 trace kernel.
+
+    Culling at 32-primitive quarters instead of 128-primitive segments cuts
+    tested pairs ~2x on the bench scene (measured selectivity table,
+    benchmarks/results/general_trace_floor_r3.md). Returns
+
+      words   i32[n_tiles, ceil(n_q / 32)]   bit q of word w = quarter
+                                             w*32+q overlaps the tile box
+      summary i32[n_tiles, ceil(words / 32)] bit w of summary word s =
+                                             word s*32+w is nonzero
+
+    The summary level lets the kernel's scalar decode skip 32 empty words
+    per bit test — at quarter granularity the word array is 4x longer and
+    ~99% zero, so a flat scan would dominate the tile (the seg-128 kernels
+    scan words flat and don't need this)."""
+    tmin, tmax = tile_aabbs(rays, tile)
+    words = masks_for_tile_aabbs(tmin, tmax, spheres, seg_block, block=32)
+    summary = pack_overlap_bits(words != 0)
+    return words, summary
+
+
 def masks_for_tile_aabbs(
     tmin: jax.Array,
     tmax: jax.Array,
     spheres: jax.Array,
     seg_block: int = 8192,
+    block: int = SEG,
 ) -> jax.Array:
     """``dense_tile_masks`` from precomputed ray-tile AABBs — the split lets
     distributed callers build masks for REMOTE ray blocks (ship the tiny
     per-tile boxes through a collective, not the rays) and hoist the whole
     broadphase out of a ring circuit (parallel/sharding.ring_pallas_render).
+    ``block`` is the culling granularity in primitives (128 for the segment
+    kernels, 32 for the quarter kernel).
     """
-    seg_min, seg_max = segment_aabbs(spheres)
+    seg_min, seg_max = segment_aabbs(spheres, block=block)
 
     def block_words(args):
         s_min, s_max = args

@@ -325,6 +325,107 @@ def _trace_tile_kernel_bitmask(
     out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
+def _trace_tile_kernel_quarter(
+    summary_ref,    # SMEM (1, 1, n_swords) i32 — bit w of sword s: word
+    #                 s*32+w of mask_ref is nonzero
+    mask_ref,       # SMEM (1, 1, n_words) i32 — bit q of word w = QUARTER
+    #                 (32 prims) w*32+q overlaps this tile
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs + 1, 8, SEG) — resident slabs, last all 0
+    out_ref,        # VMEM (TILE, 1)
+    q_list,         # SMEM scratch (n_words*32 + 3,) i32
+    *,
+    mode: str,
+    unroll: int,
+    pad_qid: int,
+):
+    """Seg-32 (quarter-granularity) bitmask kernel.
+
+    Culling at 32-prim quarters cuts tested pairs ~2x vs 128-prim segments
+    (general_trace_floor_r3.md selectivity table), but 32-lane compute is a
+    4x lane-occupancy loss — so the vector phase ASSEMBLES full (8, 128)
+    compute slabs from groups of 4 listed quarters: each quarter's parent
+    slab is dynamically loaded and lane-rotated (tpu dynamic_rotate via
+    pltpu.roll) so quarter j of the group lands on lanes 32j..32j+31, then
+    three lane-range selects merge the group. ~11 single-vreg vector ops
+    per assembled slab against ~176 cycles of pair tests it replaces.
+
+    The scalar decode walks the summary words first (one bit test skips 32
+    empty quarter words): at 1M particles the quarter word array is 1024
+    words/tile and ~95% zero — a flat scan would cost more scalar cycles
+    than the vector win."""
+    tile = rays_ref.shape[0]
+    n_swords = summary_ref.shape[2]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+
+    def sword_body(sw, n):
+        sword0 = summary_ref[0, 0, sw]
+
+        def walk(state):
+            _, n = state
+
+            def word_body(b, n):
+                word0 = mask_ref[0, 0, sw * 32 + b]
+
+                def emit(state2):
+                    word, n = state2
+                    for s in range(32):
+                        q_list[n] = (sw * 32 + b) * 32 + s
+                        n = n + ((word >> s) & 1)
+                    return n
+
+                return jax.lax.cond(word0 != 0, emit, lambda st: st[1],
+                                    (word0, n))
+
+            return jax.lax.fori_loop(0, 32, word_body, n)
+
+        return jax.lax.cond(sword0 != 0, walk, lambda st: st[1], (sword0, n))
+
+    n = jax.lax.fori_loop(0, n_swords, sword_body, jnp.int32(0))
+
+    # Pad the list to a whole group of 4 with the all-zero slab's quarter 0
+    # (zero h2 / inv_h2 contribute exactly nothing in either mode).
+    n4 = (n + 3) & ~jnp.int32(3)
+
+    def pad_body(k, carry):
+        q_list[k] = pad_qid
+        return carry
+
+    jax.lax.fori_loop(n, n4, pad_body, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, SEG), 1)
+
+    def assemble(base):
+        rs = []
+        for j in range(4):
+            q = q_list[base + j]
+            s = prims_ref[q >> 2]
+            # place source quarter (q & 3) at target lanes 32j..32j+31
+            sh = (((j - (q & 3)) & 3) * 32).astype(jnp.int32)
+            rs.append(pltpu.roll(s, sh, axis=1))
+        quad = lane >> 5
+        return jnp.where(quad == 0, rs[0],
+                         jnp.where(quad == 1, rs[1],
+                                   jnp.where(quad == 2, rs[2], rs[3])))
+
+    def body(ku, acc):
+        k = ku * unroll
+        for u in range(unroll):
+            slab = assemble((k + u) * 4)
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return acc
+
+    def tail(k, acc):
+        slab = assemble(k * 4)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+
+    n_groups = n4 >> 2
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_groups // unroll, body, acc0)
+    acc = jax.lax.fori_loop((n_groups // unroll) * unroll, n_groups, tail, acc)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+
 def _trace_tile_kernel_bitmask_stream(
     mask_ref,       # SMEM (1, 1, n_words) i32
     rays_ref,       # VMEM (TILE, 16)
@@ -459,8 +560,11 @@ def pallas_trace_sph(
     Returns (per_ray_values f32/i32[R], overflow bool[n_tiles]). Overflowed
     tiles have incomplete sums — re-run with a larger max_chunks.
     ``broadphase``: 'dense' (default; hierarchical-free segment culling,
-    see pallas_broadphase.py) or 'xla' (lockstep BVH walk oracle). ``tree``
-    is only consulted by the 'xla' broadphase and may be None otherwise.
+    see pallas_broadphase.py), 'quarter' (seg-32 culling granularity +
+    in-kernel slab assembly — the fastest general route for VMEM-resident
+    scenes, best at tile=128; see _trace_tile_kernel_quarter), or 'xla'
+    (lockstep BVH walk oracle). ``tree`` is only consulted by the 'xla'
+    broadphase and may be None otherwise.
     ``masks`` optionally supplies precomputed bitmask broadphase words
     (pallas_broadphase.masks_for_tile_aabbs over the SAME tile-padded rays
     and spheres) for callers that hoist/reuse the broadphase — ring
@@ -484,6 +588,48 @@ def pallas_trace_sph(
     packed_bm, r_pad_bm = _pack_rays(rays, tile)
     prims_bm, n_prim_pad_bm = _pack_prims(spheres)
     resident_bm = (n_prim_pad_bm // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if broadphase == "quarter":
+        # Seg-32 culling granularity + in-kernel 4-quarter slab assembly
+        # (see _trace_tile_kernel_quarter). Requires VMEM residency (the
+        # assembly loads parent slabs dynamically); large scenes fall back
+        # to the bitmask-stream path via broadphase='bitmask'.
+        from grace_tpu.trace.pallas_broadphase import dense_tile_masks_quarter
+
+        if not resident_bm:
+            raise ValueError(
+                "broadphase='quarter' requires the VMEM-resident regime "
+                f"({n_prim_pad_bm} padded prims > limit); use 'bitmask'")
+        words, summary = dense_tile_masks_quarter(rays, spheres, tile)
+        n_tiles = r_pad_bm // tile
+        n_segs_res = n_prim_pad_bm // SEG
+        prims3d = prims_bm.reshape(8, n_segs_res, SEG).transpose(1, 0, 2)
+        # one all-zero slab appended: the group-of-4 padding target
+        prims3d = jnp.concatenate(
+            [prims3d, jnp.zeros((1, 8, SEG), jnp.float32)], axis=0)
+        out = pl.pallas_call(
+            functools.partial(_trace_tile_kernel_quarter, mode=mode,
+                              unroll=unroll, pad_qid=n_segs_res * 4),
+            out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, summary.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, words.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 16), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((words.shape[1] * 32 + 3,), jnp.int32)],
+            interpret=interpret,
+        )(summary[:, None, :], words[:, None, :], packed_bm, prims3d)
+        values = out[:n_rays, 0]
+        if mode == "hitcount":
+            values = values.astype(jnp.int32)
+        return values, jnp.zeros((n_tiles,), jnp.bool_)
     if broadphase == "bitmask" or (broadphase == "dense" and subtiles == 1):
         # Default fast path: bitmask broadphase (no compaction sort, no
         # overflow) + set-bit-iterating kernel — VMEM-resident slabs when

@@ -109,3 +109,30 @@ def test_subtiled_variant_matches_engine(rng):
     assert not bool(np.array(ovf).any())
     ref = np.array(trace_hitcounts_sph(rays, ss, tree))
     assert np.array_equal(np.array(got), ref)
+
+
+def test_quarter_variant_matches_engine(rng):
+    """The seg-32 (quarter-granularity) broadphase + slab-assembly kernel
+    (broadphase='quarter', the fastest general-trace route on hardware —
+    benchmarks/results/r4_hw_notes.md) must match the engine exactly on
+    hitcounts and to tolerance on integrals; exercises the dynamic-rotate
+    assembly and the group-of-4 zero-slab padding (n % 4 != 0 lists)."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(9), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    got, ovf = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="hitcount", interpret=True,
+        broadphase="quarter")
+    assert not bool(np.array(ovf).any())
+    ref = np.array(trace_hitcounts_sph(rays, ss, tree))
+    assert np.array_equal(np.array(got), ref)
+    got2, _ = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="cumulative", interpret=True,
+        broadphase="quarter")
+    ref2 = np.array(trace_cumulative_sph(rays, ss, tree))
+    np.testing.assert_allclose(np.array(got2), ref2, rtol=5e-4, atol=1e-2)
+    # unroll tail paths (unroll > n_groups) and a non-default tile
+    got3, _ = pallas_trace_sph(
+        rays, ss, tree, tile=128, mode="hitcount", interpret=True,
+        broadphase="quarter", unroll=8)
+    assert np.array_equal(np.array(got3), ref)
