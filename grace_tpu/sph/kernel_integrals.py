@@ -33,6 +33,40 @@ import jax.numpy as jnp
 N_TABLE = 51  # ref: trace_sph.cuh:22 (N_table = 51)
 _SIGMA = 8.0 / np.pi
 
+# -- on-disk coefficient cache ------------------------------------------------
+# Every fit below is DERIVED (thousands of quadrature evaluations), which
+# costs seconds-to-a-minute per process at import; the derived coefficients
+# are cached in a committed .npz next to this module so imports are instant.
+# The derivation code stays authoritative: tests/unit/test_kernel_integrals.py
+# re-derives and compares against the cache (no opaque constants).
+import os as _os
+
+_COEFF_CACHE_PATH = _os.path.join(_os.path.dirname(__file__),
+                                  "_horner_cache.npz")
+
+
+def _cached_fit_multi(keys, fit_fn):
+    """Load arrays ``keys`` from the cache, or run ``fit_fn`` (returning a
+    tuple of arrays matching ``keys``) and persist them. Returns a tuple."""
+    data = {}
+    if _os.path.exists(_COEFF_CACHE_PATH):
+        with np.load(_COEFF_CACHE_PATH) as z:
+            data = {k: z[k] for k in z.files}
+    if not all(k in data for k in keys):
+        vals = fit_fn()
+        for k, v in zip(keys, vals):
+            data[k] = np.asarray(v)
+        try:
+            np.savez(_COEFF_CACHE_PATH, **data)
+        except OSError:
+            pass                      # read-only checkout: derive per run
+    return tuple(data[k] for k in keys)
+
+
+def _cached_fit(key, fit_fn):
+    return _cached_fit_multi([key], lambda: (fit_fn(),))[0]
+
+
 
 def _w_dimensionless(q):
     """Cubic spline w(q) with support radius 1 (numpy, f64)."""
@@ -92,9 +126,10 @@ def _fit_chebyshev_pieces():
     return (c1.coef, c1.domain), (c2.coef, c2.domain), (c1s.coef, c2s.coef)
 
 
-(_CHEB1, _CHEB1_DOM), (_CHEB2, _CHEB2_DOM), (_CHEB1_SHORT, _CHEB2_SHORT) = (
-    _fit_chebyshev_pieces()
-)
+_CHEB1, _CHEB1_DOM, _CHEB2, _CHEB2_DOM, _CHEB1_SHORT, _CHEB2_SHORT = (
+    _cached_fit_multi(
+        ['cheb1', 'cheb1_dom', 'cheb2', 'cheb2_dom', 'cheb1s', 'cheb2s'],
+        lambda: sum(_fit_chebyshev_pieces(), ())))
 
 
 def _fit_unified_horner(deg: int = 10):
@@ -130,7 +165,9 @@ def _fit_unified_horner(deg: int = 10):
 
 
 HORNER_DEG = 10
-_HORNER_C1, _HORNER_C2 = _fit_unified_horner(HORNER_DEG)
+_HORNER_C1, _HORNER_C2 = _cached_fit_multi(
+    [f'uh{HORNER_DEG}_1', f'uh{HORNER_DEG}_2'],
+    lambda: _fit_unified_horner(HORNER_DEG))
 
 
 def _fit_single_horner(deg: int = 14):
@@ -161,22 +198,81 @@ def _fit_single_horner(deg: int = 14):
 
 
 HORNER1_DEG = 14
-_HORNER1_C = _fit_single_horner(HORNER1_DEG)
+
+_HORNER1_C = _cached_fit(f"h{HORNER1_DEG}",
+                         lambda: _fit_single_horner(HORNER1_DEG))
+_HORNER1_CACHE = {HORNER1_DEG: _HORNER1_C}
 
 
-def cubic_spline_line_integral_horner1(u):
-    """F(beta) from u = beta^2 via the single-piece Horner form (deg 12).
+def horner1_coeffs(deg: int) -> np.ndarray:
+    """Cached weighted-fit coefficients for a given Horner degree.
 
-    The hot-kernel form (pallas_kernel.py): 13 FMAs + prefactor, zero
-    selects. Returns 0 for u >= 1 (clamped v^3 sqrt(v) prefactor vanishes);
-    the clamp of u at 1 keeps far-away primitives (u ~ 1e5) from overflowing
-    the polynomial powers into inf (inf * 0 = NaN would poison the masked
-    accumulate)."""
-    u = jnp.minimum(jnp.asarray(u, jnp.float32), 1.0)
+    Measured max |F_fit - F| / max F: deg 14 ~2.1e-5 (the exact-path
+    default), deg 8 ~8.1e-5 (the fast-trace option — 6 fewer FMAs per
+    pair, still 6x inside the 5e-4 physics gate)."""
+    if deg not in _HORNER1_CACHE:
+        _HORNER1_CACHE[deg] = _cached_fit(
+            f"h{deg}", lambda: _fit_single_horner(deg))
+    return _HORNER1_CACHE[deg]
+
+
+_DIRECT_CACHE = {}
+
+
+def direct_coeffs(deg: int) -> np.ndarray:
+    """Cached coefficients of a DIRECT polynomial fit of F over u in
+    [0, 1] (no v^3 sqrt(v) prefactor). Max |fit - F| / max F: deg 12
+    ~9.9e-5 — the same accuracy class as the deg-8 prefactor form but
+    with NO sqrt, the expensive op of the prefactor (hardware ablation,
+    benchmarks/results/r4_hw_notes.md)."""
+    if deg not in _DIRECT_CACHE:
+
+        def fit():
+            u = np.concatenate([np.linspace(0.0, 1.0, 6001),
+                                1.0 - np.geomspace(1e-7, 0.05, 500)])
+            u = np.unique(u)
+            f = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u])
+            c = np.polynomial.chebyshev.Chebyshev.fit(2.0 * u - 1.0, f, deg,
+                                                      domain=[-1, 1])
+            return np.asarray(
+                c.convert(kind=np.polynomial.Polynomial).coef, np.float64)
+
+        _DIRECT_CACHE[deg] = _cached_fit(f"d{deg}", fit)
+    return _DIRECT_CACHE[deg]
+
+
+def cubic_spline_line_integral_horner1(u, deg: int = HORNER1_DEG):
+    """F(beta) from u = beta^2 via a single-piece Horner form.
+
+    The hot-kernel form (pallas_kernel.py). ``deg`` selects the flavor:
+
+      deg > 0   weighted fit of F / v^3.5 times the v^3 sqrt(v) prefactor:
+                ``deg + 1`` FMAs + prefactor (includes a sqrt), zero
+                selects. The prefactor vanishes for u >= 1 so no mask is
+                needed; the clamp of u at 1 keeps far-away primitives
+                (u ~ 1e5) from overflowing the powers into inf.
+      deg < 0   sqrt-FREE direct fit of F of degree |deg|: ``|deg| + 1``
+                FMAs + one select (the fit does not vanish at u >= 1, so
+                out-of-support lanes are explicitly zeroed). deg = -12
+                matches the deg-8 prefactor form's ~1e-4 accuracy and is
+                the fast-trace option.
+    """
+    u = jnp.asarray(u, jnp.float32)
+    if deg < 0:
+        d = -deg
+        coeffs = direct_coeffs(d)
+        uc = jnp.minimum(u, 1.0)
+        t = 2.0 * uc - 1.0
+        acc = jnp.float32(coeffs[d])
+        for k in range(d - 1, -1, -1):
+            acc = acc * t + jnp.float32(coeffs[k])
+        return jnp.where(u < 1.0, acc, 0.0)
+    coeffs = horner1_coeffs(deg)
+    u = jnp.minimum(u, 1.0)
     t = 2.0 * u - 1.0
-    acc = jnp.float32(_HORNER1_C[HORNER1_DEG])
-    for k in range(HORNER1_DEG - 1, -1, -1):
-        acc = acc * t + jnp.float32(_HORNER1_C[k])
+    acc = jnp.float32(coeffs[deg])
+    for k in range(deg - 1, -1, -1):
+        acc = acc * t + jnp.float32(coeffs[k])
     v = jnp.maximum(1.0 - u, 0.0)
     return acc * ((v * v) * (v * jnp.sqrt(v)))
 
@@ -396,7 +492,8 @@ def fit_splat_basis(rank: int = SPLAT_RANK, deg: int = SPLAT_DEG, n: int = 1024)
     return a, b
 
 
-SPLAT_A_COEFFS, SPLAT_B_COEFFS = fit_splat_basis()
+SPLAT_A_COEFFS, SPLAT_B_COEFFS = _cached_fit_multi(
+    ['splat_a', 'splat_b'], fit_splat_basis)
 
 
 def fit_splat_basis_joint(rank: int = SPLAT_RANK, deg: int = 8,
@@ -456,7 +553,9 @@ def fit_splat_basis_joint(rank: int = SPLAT_RANK, deg: int = 8,
 
 
 SPLAT_DEG8 = 8
-SPLAT_A8_COEFFS, SPLAT_B8_COEFFS = fit_splat_basis_joint(SPLAT_RANK, SPLAT_DEG8)
+SPLAT_A8_COEFFS, SPLAT_B8_COEFFS = _cached_fit_multi(
+    ['splat_a8', 'splat_b8'],
+    lambda: fit_splat_basis_joint(SPLAT_RANK, SPLAT_DEG8))
 
 
 def splat_basis_reference(x, y):

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grace_tpu.core.tree import Tree
 from grace_tpu.core.types import Rays
-from grace_tpu.sph.kernel_integrals import cubic_spline_line_integral_horner1
+from grace_tpu.sph.kernel_integrals import (HORNER1_DEG,
+                                            cubic_spline_line_integral_horner1)
 from grace_tpu.trace.broadphase import collect_tile_chunks
 
 DEFAULT_TILE = 512
@@ -117,7 +118,8 @@ def tile_segments(rays: Rays, tree: Tree, tile: int, max_chunks: int,
     return seg_ids, n_kept, overflow
 
 
-def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
+def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                 integral_deg=HORNER1_DEG):
     """(tile, SEG) accumulator update against one primitive slab.
 
     The accumulator is the full (tile, SEG) matrix — the expensive cross-lane
@@ -145,7 +147,8 @@ def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode):
 
     if mode == "cumulative":
         inv_h2 = slab[4:5, :]
-        f = cubic_spline_line_integral_horner1(b2 * inv_h2)  # 0 outside support
+        f = cubic_spline_line_integral_horner1(b2 * inv_h2,
+                                               deg=integral_deg)  # 0 outside support
         return acc + jnp.where(along, f * inv_h2, 0.0)
     h2 = slab[5:6, :]
     hit = (b2 < h2) & along
@@ -168,6 +171,7 @@ def _trace_tile_kernel_stream(
     sem,            # DMA sems (NBUF,)
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
 ):
     tile = rays_ref.shape[0]
     nbuf = pbuf.shape[0]
@@ -212,6 +216,7 @@ def _trace_tile_kernel_resident(
     out_ref,        # VMEM (TILE, 1)
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
     unroll: int,
 ):
     """No-DMA variant: the entire (segmented) particle array lives in VMEM
@@ -230,12 +235,14 @@ def _trace_tile_kernel_resident(
         k = ku * unroll
         for u in range(unroll):
             slab = prims_ref[segs_ref[0, 0, k + u]]
-            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                               integral_deg=integral_deg)
         return acc
 
     def tail(k, acc):
         slab = prims_ref[segs_ref[0, 0, k]]
-        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                            integral_deg=integral_deg)
 
     acc0 = jnp.zeros((tile, SEG), jnp.float32)
     n_main = (n // unroll) * unroll
@@ -271,6 +278,7 @@ def _trace_tile_kernel_bitmask(
     seg_list,       # SMEM scratch (n_words*32,) i32
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
     unroll: int,
 ):
     """Bitmask-driven resident kernel, two phases per tile:
@@ -312,12 +320,14 @@ def _trace_tile_kernel_bitmask(
         k = ku * unroll
         for u in range(unroll):
             slab = prims_ref[seg_list[k + u]]
-            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                               integral_deg=integral_deg)
         return acc
 
     def tail(k, acc):
         slab = prims_ref[seg_list[k]]
-        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                            integral_deg=integral_deg)
 
     acc0 = jnp.zeros((tile, SEG), jnp.float32)
     acc = jax.lax.fori_loop(0, n // unroll, body, acc0)
@@ -336,6 +346,7 @@ def _trace_tile_kernel_quarter(
     q_list,         # SMEM scratch (n_words*32 + 3,) i32
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
     unroll: int,
     pad_qid: int,
 ):
@@ -412,12 +423,14 @@ def _trace_tile_kernel_quarter(
         k = ku * unroll
         for u in range(unroll):
             slab = assemble((k + u) * 4)
-            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                               integral_deg=integral_deg)
         return acc
 
     def tail(k, acc):
         slab = assemble(k * 4)
-        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                            integral_deg=integral_deg)
 
     n_groups = n4 >> 2
     acc0 = jnp.zeros((tile, SEG), jnp.float32)
@@ -436,6 +449,7 @@ def _trace_tile_kernel_bitmask_stream(
     sem,            # DMA sems (NBUF,)
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
 ):
     """Bitmask broadphase + streaming DMA: the large-scene variant (r1
     review: the fast path must not require VMEM-resident particles). Phase 1
@@ -495,6 +509,7 @@ def _trace_tile_kernel_subtiled(
     out_ref,        # VMEM (S*T, 1)
     *,
     mode: str,
+    integral_deg: int = HORNER1_DEG,
     subtiles: int,
 ):
     """Subtiled resident kernel: one grid program serves S fine ray subtiles,
@@ -522,7 +537,8 @@ def _trace_tile_kernel_subtiled(
             kk = jnp.minimum(k, jnp.maximum(counts[u] - 1, 0))
             slab = prims_ref[segs_ref[0, u, kk]]
             new_acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln,
-                                   accs[u], mode)
+                                   accs[u], mode,
+                                   integral_deg=integral_deg)
             out.append(jnp.where(live, new_acc, accs[u]))
         return tuple(out)
 
@@ -536,7 +552,7 @@ def _trace_tile_kernel_subtiled(
     jax.jit,
     static_argnames=(
         "tile", "max_chunks", "mode", "interpret", "stack_size", "broadphase",
-        "vmem_resident_limit", "subtiles", "unroll",
+        "vmem_resident_limit", "subtiles", "unroll", "integral_deg",
     ),
 )
 def pallas_trace_sph(
@@ -553,6 +569,7 @@ def pallas_trace_sph(
     subtiles: int = 1,
     unroll: int = 16,
     masks: jax.Array | None = None,
+    integral_deg: int = HORNER1_DEG,
 ) -> Tuple[jax.Array, jax.Array]:
     """Column density (mode='cumulative') or hit counts (mode='hitcount')
     per ray via broadphase + streaming Pallas kernel.
@@ -569,6 +586,12 @@ def pallas_trace_sph(
     (pallas_broadphase.masks_for_tile_aabbs over the SAME tile-padded rays
     and spheres) for callers that hoist/reuse the broadphase — ring
     distribution, fixed-ray training loops.
+    ``integral_deg`` selects the cumulative-mode line-integral Horner
+    flavor (see kernel_integrals.cubic_spline_line_integral_horner1):
+    14 (default, ~2e-5 rel err), lower positive degrees trade accuracy
+    for FMAs, and NEGATIVE values select the sqrt-free direct fit of
+    that |degree| (-12 ~1e-4 — the fast-trace option; hw ablation in
+    benchmarks/results/r4_hw_notes.md). Ignored by mode='hitcount'.
     """
     if mode not in ("cumulative", "hitcount"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -608,6 +631,7 @@ def pallas_trace_sph(
             [prims3d, jnp.zeros((1, 8, SEG), jnp.float32)], axis=0)
         out = pl.pallas_call(
             functools.partial(_trace_tile_kernel_quarter, mode=mode,
+                              integral_deg=integral_deg,
                               unroll=unroll, pad_qid=n_segs_res * 4),
             out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
             grid=(n_tiles,),
@@ -653,6 +677,7 @@ def pallas_trace_sph(
             prims3d = prims_bm.reshape(8, n_prim_pad_bm // SEG, SEG).transpose(1, 0, 2)
             out = pl.pallas_call(
                 functools.partial(_trace_tile_kernel_bitmask, mode=mode,
+                                  integral_deg=integral_deg,
                                   unroll=unroll),
                 out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
                 grid=(n_tiles,),
@@ -663,7 +688,8 @@ def pallas_trace_sph(
             )(masks[:, None, :], packed_bm, prims3d)
         else:
             out = pl.pallas_call(
-                functools.partial(_trace_tile_kernel_bitmask_stream, mode=mode),
+                functools.partial(_trace_tile_kernel_bitmask_stream, mode=mode,
+                                  integral_deg=integral_deg),
                 out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
                 grid=(n_tiles,),
                 in_specs=common_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],
@@ -711,7 +737,8 @@ def pallas_trace_sph(
         n_groups = n_tiles // s_num
         out = pl.pallas_call(
             functools.partial(
-                _trace_tile_kernel_subtiled, mode=mode, subtiles=s_num),
+                _trace_tile_kernel_subtiled, mode=mode, subtiles=s_num,
+                integral_deg=integral_deg),
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
             grid=(n_groups,),
             in_specs=[
@@ -738,6 +765,7 @@ def pallas_trace_sph(
         prims3d = prims_t.reshape(8, n_prim_pad // SEG, SEG).transpose(1, 0, 2)
         out = pl.pallas_call(
             functools.partial(_trace_tile_kernel_resident, mode=mode,
+                              integral_deg=integral_deg,
                               unroll=unroll),
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
             grid=(n_tiles,),
@@ -748,7 +776,8 @@ def pallas_trace_sph(
         )(*common_args, prims3d)
     else:
         out = pl.pallas_call(
-            functools.partial(_trace_tile_kernel_stream, mode=mode),
+            functools.partial(_trace_tile_kernel_stream, mode=mode,
+                              integral_deg=integral_deg),
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
             grid=(n_tiles,),
             in_specs=common_in_specs + [pl.BlockSpec(memory_space=pltpu.HBM)],

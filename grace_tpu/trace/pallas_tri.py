@@ -64,11 +64,55 @@ def tri_segment_aabbs(tris: jax.Array):
 
 
 def _dense_tile_segments_tri(rays: Rays, tris, tile: int, max_chunks: int):
-    from grace_tpu.trace.pallas_broadphase import cull_segments
+    """Per-tile triangle-segment lists, FRONT-TO-BACK ordered.
 
+    Unlike the SPH cumulative kernels (order-free sums), closest-hit
+    benefits enormously from distance order + early termination — the
+    per-ray BVH descent the reference gets for free
+    (kernels/bintree_trace.cuh) shows up here as: sort each tile's listed
+    segments by the conservative tile-box -> segment-box gap distance, and
+    let the kernel stop once every lane's current hit precedes the next
+    segment's entry. Returns (seg_ids, seg_dist, n_segs, overflow) where
+    seg_dist[t, c] is a LOWER BOUND on the ray parameter of any hit in
+    seg_ids[t, c] for unit-direction rays originating in tile t's box.
+    """
     tmin, tmax = tile_aabbs(rays, tile)
     seg_min, seg_max = tri_segment_aabbs(tris)
-    return cull_segments(tmin, tmax, seg_min, seg_max, max_chunks)
+    overlap = (
+        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
+        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
+        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
+    )
+    # Entry-distance lower bound from the ORIGIN-only AABB of the tile's
+    # rays (t = |hit - origin| >= gap(origin_box, seg_box)). The full-span
+    # tile AABB (origins + endpoints, used for the overlap test) is useless
+    # here: it covers the whole ray extent, so its gap to almost every
+    # overlapped segment is ~0 and termination would never fire (for a
+    # pinhole camera the origin box is a point — the bound is exact
+    # camera-to-segment distance).
+    n_tiles = tmin.shape[0]
+    obox = rays.origins.reshape(n_tiles, -1, 3)
+    omin = jnp.min(obox, axis=1)
+    omax = jnp.max(obox, axis=1)
+    g2 = jnp.zeros(overlap.shape, jnp.float32)
+    for a in range(3):
+        g = jnp.maximum(seg_min[None, :, a] - omax[:, a:a + 1],
+                        omin[:, a:a + 1] - seg_max[None, :, a])
+        g = jnp.maximum(g, 0.0)
+        g2 = g2 + g * g
+    dist = jnp.sqrt(g2)
+    key = jnp.where(overlap, dist, jnp.float32(BIG))
+    n_segs_total = overlap.shape[1]
+    idx = jnp.broadcast_to(
+        jnp.arange(n_segs_total, dtype=jnp.int32)[None, :], overlap.shape)
+    key_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
+    n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    keep = min(max_chunks, n_segs_total)
+    seg_ids = jnp.pad(idx_s[:, :keep], ((0, 0), (0, max_chunks - keep)))
+    seg_dist = jnp.pad(key_s[:, :keep], ((0, 0), (0, max_chunks - keep)),
+                       constant_values=BIG)
+    overflow = n_segs > max_chunks
+    return seg_ids, seg_dist, jnp.minimum(n_segs, max_chunks), overflow
 
 
 def _mt_candidates(slab, ox, oy, oz, dx, dy, dz, ln):
@@ -95,20 +139,20 @@ def _mt_candidates(slab, ox, oy, oz, dx, dy, dz, ln):
     return jnp.where(hit, t, BIG)
 
 
-def _tri_kernel(n_segs_ref, segs_ref, rays_ref, tris_ref, t_ref, id_ref, *, mode):
+def _tri_kernel(n_segs_ref, segs_ref, dist_ref, rays_ref, tris_ref,
+                t_ref, id_ref, *, mode):
     tile = rays_ref.shape[0]
+    cap = segs_ref.shape[2]
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
     n = n_segs_ref[0, 0, 0]
     # int32 iota + cast: Mosaic rejects float tpu.iota on hardware.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1).astype(jnp.float32)
 
-    def body(k, carry):
-        t_min, tri_id = carry
+    def seg_update(k, t_min, tri_id):
         seg = segs_ref[0, 0, k]
         tcand = _mt_candidates(tris_ref[seg], ox, oy, oz, dx, dy, dz, ln)
         if mode == "any":
-            t_min = jnp.minimum(t_min, jnp.min(tcand, axis=1, keepdims=True))
-            return t_min, tri_id
+            return jnp.minimum(t_min, jnp.min(tcand, axis=1, keepdims=True)), tri_id
         seg_min = jnp.min(tcand, axis=1, keepdims=True)          # (tile, 1)
         ids = jnp.where(tcand <= seg_min, lane, jnp.float32(BIG))
         seg_id = jnp.min(ids, axis=1, keepdims=True) + seg.astype(jnp.float32) * SEG
@@ -117,9 +161,40 @@ def _tri_kernel(n_segs_ref, segs_ref, rays_ref, tris_ref, t_ref, id_ref, *, mode
         tri_id = jnp.where(closer, seg_id, tri_id)
         return t_min, tri_id
 
+    # Front-to-back early termination (the list is distance-ordered),
+    # checked once per CHUNK of B segments so the B-wide unrolled body
+    # keeps Mosaic's slab-load/compute pipelining (a per-segment
+    # while_loop condition serializes every iteration on a cross-lane
+    # reduce — measured SLOWER than no termination at all). A lane is
+    # closed when its current closest hit precedes the next chunk's
+    # conservative entry distance, or when that distance exceeds its ray
+    # length (this closes miss lanes — without the length cap any lane
+    # that never hits keeps every tile running to the end of its list).
+    # Chunk overrun past n is harmless: list entries beyond n are
+    # non-overlapping segments (every candidate BIG) and both modes'
+    # updates are monotone mins.
+    B = 8
+
+    def cond(carry):
+        kb, t_min, _ = carry
+        d = dist_ref[0, 0, jnp.minimum(kb * B, cap - 1)]
+        if mode == "any":
+            # open = unoccluded lane whose length still reaches later segs
+            open_metric = jnp.max(
+                jnp.where(t_min >= jnp.float32(BIG), ln, jnp.float32(-1.0)))
+            return (kb * B < n) & (open_metric > d)
+        return (kb * B < n) & (jnp.max(jnp.minimum(t_min, ln)) >= d)
+
+    def body(carry):
+        kb, t_min, tri_id = carry
+        for u in range(B):
+            k = jnp.minimum(kb * B + u, cap - 1)
+            t_min, tri_id = seg_update(k, t_min, tri_id)
+        return kb + 1, t_min, tri_id
+
     t0 = jnp.full((tile, 1), BIG, jnp.float32)
     i0 = jnp.full((tile, 1), -1.0, jnp.float32)
-    t_min, tri_id = jax.lax.fori_loop(0, n, body, (t0, i0))
+    _, t_min, tri_id = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, i0))
     t_ref[...] = t_min
     id_ref[...] = tri_id
 
@@ -149,21 +224,29 @@ def pallas_trace_tri(
             jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
             jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
         )
-    seg_ids, n_segs, overflow = _dense_tile_segments_tri(rays, tris, tile, max_chunks)
+    seg_ids, seg_dist, n_segs, overflow = _dense_tile_segments_tri(
+        rays, tris, tile, max_chunks)
     packed, r_pad = _pack_rays(rays, tile)
     tris3d, _ = _pack_tris(tris)
     n_tiles = r_pad // tile
 
+    # The resident triangle slabs alone can exceed Mosaic's default 16 MB
+    # scoped-vmem budget (2048 slabs = 16.8 MB at 262k tris); size the
+    # limit to the actual residency (the records kernel's pattern).
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(tris3d.size) * 4 + 16 * 1024 * 1024)
     t_out, id_out = pl.pallas_call(
         functools.partial(_tri_kernel, mode=mode),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
         ),
+        compiler_params=params,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, seg_ids.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, seg_dist.shape[1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -172,7 +255,8 @@ def pallas_trace_tri(
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(n_segs[:, None, None], seg_ids[:, None, :], packed, tris3d)
+    )(n_segs[:, None, None], seg_ids[:, None, :], seg_dist[:, None, :],
+      packed, tris3d)
 
     t = t_out[:n_rays, 0]
     miss = t >= BIG

@@ -136,3 +136,18 @@ def test_quarter_variant_matches_engine(rng):
         rays, ss, tree, tile=128, mode="hitcount", interpret=True,
         broadphase="quarter", unroll=8)
     assert np.array_equal(np.array(got3), ref)
+
+
+def test_integral_deg_flavors_match_engine(rng):
+    """The tunable Horner forms (lower-degree prefactor fits, and the
+    sqrt-free direct fit encoded as negative degrees) must stay inside the
+    physics-gate tolerance against the engine's exact-table path."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(12), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    ref = np.array(trace_cumulative_sph(rays, ss, tree))
+    for deg in (8, -12):
+        got, _ = pallas_trace_sph(
+            rays, ss, tree, tile=64, mode="cumulative", interpret=True,
+            broadphase="quarter", integral_deg=deg)
+        np.testing.assert_allclose(np.array(got), ref, rtol=5e-4, atol=1e-2)

@@ -90,3 +90,23 @@ def test_single_horner_matches_quadrature():
         cubic_spline_line_integral_horner1(np.array([1.0, 2.0, 1e6, np.inf], np.float32))
     )
     assert np.array_equal(far, np.zeros(4)), far
+
+
+def test_coefficient_cache_matches_fresh_derivation():
+    """The committed coefficient cache (_horner_cache.npz) must be exactly
+    what the derivation code produces — the constants stay derived, the
+    cache is only an import-time accelerator."""
+    from grace_tpu.sph.kernel_integrals import (
+        _fit_single_horner, direct_coeffs, horner1_coeffs)
+
+    np.testing.assert_array_equal(horner1_coeffs(14), _fit_single_horner(14))
+    # the direct (sqrt-free) fit: re-derive inline
+    from grace_tpu.sph.kernel_integrals import _line_integral_quadrature
+    u = np.concatenate([np.linspace(0.0, 1.0, 6001),
+                        1.0 - np.geomspace(1e-7, 0.05, 500)])
+    u = np.unique(u)
+    f = np.array([_line_integral_quadrature(np.sqrt(x)) for x in u])
+    c = np.polynomial.chebyshev.Chebyshev.fit(2.0 * u - 1.0, f, 12,
+                                              domain=[-1, 1])
+    fresh = np.asarray(c.convert(kind=np.polynomial.Polynomial).coef)
+    np.testing.assert_array_equal(direct_coeffs(12), fresh)
