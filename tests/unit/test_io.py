@@ -102,3 +102,17 @@ def test_gadget_sharded_read(tmp_path, rng):
     shards = [read_gadget_gas_shard(path, s, 4) for s in range(4)]
     back = np.concatenate(shards)
     np.testing.assert_array_equal(back, xyzh)
+
+
+def test_parse_profiles_log():
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "parse_profiles",
+        pathlib.Path(__file__).resolve().parents[2] / "tools" / "parse_profiles.py")
+    pp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pp)
+    recs = pp.parse_log("a_ms: 1.5\nrays: 100\n\nN: 2048\na_ms: 2.5\n")
+    assert recs == [{"a_ms": 1.5, "rays": 100}, {"N": 2048, "a_ms": 2.5}]
+    merged = pp.merge(["x"], [recs])
+    assert merged["a_ms"]["x"] == [1.5, 2.5]
+    assert "2048" in pp.table(merged, ["x"])
