@@ -29,6 +29,8 @@ from grace_tpu.trace.sph import (
 )
 
 from grace_tpu.rays import gen as ray_gen
+from grace_tpu.rays import statistics as ray_statistics
+from grace_tpu.rays import hypothesis as ray_hypothesis
 from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 from grace_tpu.trace.pallas_records import (
     RecordTraceResult,
@@ -37,7 +39,12 @@ from grace_tpu.trace.pallas_records import (
 )
 from grace_tpu.trace.render import render_column_density
 from grace_tpu.trace.splat import render_ortho_splat
-from grace_tpu.trace.splat_grad import OrthoCamera, make_splat_trainer
+from grace_tpu.trace.splat_grad import (
+    OrthoCamera,
+    make_splat_trainer,
+    splat_backward_sortfree,
+    splat_forward_sortfree,
+)
 from grace_tpu.trace.pallas_render import make_fused_renderer
 from grace_tpu.io.checkpoint import load_scene, save_scene
 
