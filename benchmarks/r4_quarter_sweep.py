@@ -1,9 +1,14 @@
 """Round-4 general-trace sweep on real TPU: quarter (seg-32) vs bitmask
 broadphase, tile/unroll/integral flavor.
 
-Usage: python benchmarks/r4_quarter_sweep.py <config> [...]
+Usage: python benchmarks/r4_quarter_sweep.py [--pinhole] <config> [...]
   config = broadphase:tile:unroll[:integral_deg]
   e.g.  quarter:128:8  quarter:128:8:-12  bitmask:64:16
+
+--pinhole swaps the orthographic bench bundle for a perspective
+(pinhole-camera) bundle over the same scene — the reference's one trace
+kernel serves every camera (bintree_trace.cuh); this measures ours on
+the non-separable bundle class the splat path cannot take.
 
 Run few configs per process (cold kernel compiles are ~1-2 min each).
 Results (2026-08-20, TPU v5e, bench scene): see
@@ -24,15 +29,22 @@ def main(configs):
     import bench
     from grace_tpu.build.sph import build_sph_tree
     from grace_tpu.core.types import Rays
-    from grace_tpu.rays.gen import orthographic_projection_rays, spatial_sort_rays
+    from grace_tpu.rays.gen import (orthographic_projection_rays,
+                                    pinhole_camera_rays, spatial_sort_rays)
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 
+    pinhole = "--pinhole" in configs
+    configs = [c for c in configs if not c.startswith("--")]
     rng = np.random.default_rng(2026)
     spheres = jnp.asarray(bench.make_clustered_particles(rng, bench.N_PARTICLES))
     ss, tree, _ = jax.jit(lambda s: build_sph_tree(s, 32))(spheres)
     side = int(np.sqrt(bench.N_RAYS))
-    rays = orthographic_projection_rays(side, side, bench.CAM, bench.LOOK,
-                                        bench.UP, bench.VEXT, bench.LENGTH)
+    if pinhole:
+        rays = pinhole_camera_rays(side, side, bench.CAM, bench.LOOK,
+                                   bench.UP, jnp.pi / 3, bench.LENGTH)
+    else:
+        rays = orthographic_projection_rays(side, side, bench.CAM, bench.LOOK,
+                                            bench.UP, bench.VEXT, bench.LENGTH)
     rays_s, _, _ = jax.jit(spatial_sort_rays)(rays)
 
     # parity gate vs the bitmask kernel's exact hitcounts (16k-ray slice)
