@@ -72,20 +72,26 @@ def sharded_pallas_render(
     tile: int = 64,
     mode: str = "cumulative",
     interpret: bool = False,
+    broadphase: str = "bitmask",
 ):
     """v1 scaling of the FAST path: rays sharded over the whole mesh,
     particles replicated, each shard running the fused Pallas trace kernel
-    (bitmask broadphase + resident kernel) on its local ray block.
+    on its local ray block. ``broadphase`` is 'bitmask' (default) or
+    'quarter' (the seg-32 kernel, fastest for VMEM-resident scenes —
+    pallas_kernel docstring).
 
     The forward is communication-free; returns (values f32/i32[R],
     overflow bool[]) with the overflow flag pmax'd mesh-wide
-    (always False on the bitmask path, kept for contract uniformity).
+    (always False on the bitmask/quarter paths, kept for contract
+    uniformity).
     """
-    return _sharded_pallas_fn(mesh, tile, mode, interpret)(rays, spheres)
+    return _sharded_pallas_fn(mesh, tile, mode, interpret,
+                              broadphase)(rays, spheres)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_pallas_fn(mesh: Mesh, tile: int, mode: str, interpret: bool):
+def _sharded_pallas_fn(mesh: Mesh, tile: int, mode: str, interpret: bool,
+                       broadphase: str = "bitmask"):
     # Cached jitted closure: rebuilding the shard_map per call would re-trace
     # AND run every wrapper op eagerly — pathological on the axon tunnel.
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
@@ -100,7 +106,7 @@ def _sharded_pallas_fn(mesh: Mesh, tile: int, mode: str, interpret: bool):
     def shard_render(local_rays, spheres):
         v, ovf = pallas_trace_sph(
             local_rays, spheres, tile=tile, mode=mode,
-            broadphase="bitmask", interpret=interpret)
+            broadphase=broadphase, interpret=interpret)
         flag = jax.lax.pmax(jnp.any(ovf).astype(jnp.int32), ("rays", "space"))
         return v, flag > 0
 

@@ -123,6 +123,12 @@ def test_sharded_pallas_fast_path_matches_single(rng):
     np.testing.assert_allclose(np.asarray(v2), np.asarray(single),
                                rtol=1e-4, atol=1e-6)
 
+    # quarter (seg-32) broadphase under shard_map (r4)
+    vq, ovfq = sharded_pallas_render(mesh, rays, spheres, tile=8,
+                                     interpret=True, broadphase="quarter")
+    assert not bool(ovfq)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(single), rtol=1e-5)
+
 
 def test_sharded_splat_matches_single(rng):
     from grace_tpu.parallel.sharding import sharded_splat_render
