@@ -150,6 +150,14 @@ def gate_records_mxu_group():
              SPHERES)
 
 
+def gate_records_quarter():
+    from grace_tpu.trace.pallas_records import pallas_trace_sph_records
+
+    _compile(lambda s: pallas_trace_sph_records(_rays(), s, 128, tile=64,
+                                                broadphase="quarter"),
+             SPHERES)
+
+
 def gate_records_stream():
     from grace_tpu.trace.pallas_records import pallas_trace_sph_records
 
@@ -233,6 +241,7 @@ GATES = [
     ("records/pick", gate_records_pick),
     ("records/network", gate_records_network),
     ("records/mxu-group", gate_records_mxu_group),
+    ("records/quarter", gate_records_quarter),
     ("records/stream", gate_records_stream),
     ("tri/closest", gate_tri_closest),
     ("tri/any", gate_tri_any),

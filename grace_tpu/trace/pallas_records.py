@@ -101,7 +101,8 @@ def _decode_seg_list(mask_ref, seg_list, n_words):
     return jax.lax.fori_loop(0, n_words, word_body, jnp.int32(0))
 
 
-def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
+def _records_slab_drain_network(slab, seg_base, cur, rays_cols, refs, *,
+                                cap):
     """Intersect one (8, SEG) slab and append every hit via a shift-network
     compaction — O(1) vector ops per slab, independent of the hit count,
     with NO cross-lane reductions at all:
@@ -164,7 +165,7 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
     occ = m                                          # int32 0/1
     rem = jnp.where(hit, lane - rank, 0)
     vf, vd = jnp.where(hit, f, 0.0), jnp.where(hit, dot, 0.0)
-    vi = jnp.where(hit, lane, 0)
+    vi = jnp.where(hit, seg_base + lane, 0)
     s = 1
     while s < SEG:
         moving = jnp.where((rem & s) != 0, occ, 0)
@@ -199,7 +200,7 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
         vi = jnp.where(bit, ror(vi), vi)
         valid = jnp.where(bit, ror(valid), valid)
         s *= 2
-    p_idx = seg * SEG + vi
+    p_idx = vi
 
     # 4. one windowed RMW merges the whole slab: hit j of ray r lands in
     # chunk (cur - rot)//SEG (unwrapped lanes, lane >= rot) or the next one
@@ -223,7 +224,7 @@ def _records_slab_drain_network(slab, seg, cur, rays_cols, refs, *, cap):
     return cur + m_cnt
 
 
-def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
+def _records_slab_drain(slab, seg_base, cur, rays_cols, refs, *, cap,
                         rank_method="mxu", group=8):
     """Intersect one (8, SEG) slab and append every hit to the record rows.
 
@@ -298,8 +299,8 @@ def _records_slab_drain(slab, seg, cur, rays_cols, refs, *, cap,
             oh = hit & (rank == base + w)        # one lane where m_cnt > it
             pick = lambda x, oh=oh: jnp.sum(
                 jnp.where(oh, x, 0.0), axis=1, keepdims=True)
-            p_idx = seg * SEG + jnp.sum(jnp.where(oh, lane, 0), axis=1,
-                                        keepdims=True)
+            p_idx = jnp.sum(jnp.where(oh, seg_base + lane, 0), axis=1,
+                            keepdims=True)
             picks.append((p_idx, pick(f), pick(dot)))
         for j in range(n_chunks):
             @pl.when((cmin0 + base < (j + 1) * SEG) & (cmax0 >= j * SEG)
@@ -359,13 +360,115 @@ def _records_tile_kernel(
         seg = seg_list[k]
         if drain == "network":
             return _records_slab_drain_network(
-                prims_ref[seg], seg, cur, rays_cols,
+                prims_ref[seg], seg * SEG, cur, rays_cols,
                 (idx_ref, intg_ref, dist_ref), cap=cap)
-        return _records_slab_drain(prims_ref[seg], seg, cur, rays_cols,
+        return _records_slab_drain(prims_ref[seg], seg * SEG, cur,
+                                   rays_cols,
                                    (idx_ref, intg_ref, dist_ref), cap=cap,
                                    rank_method=rank_method, group=group)
 
     cur = jax.lax.fori_loop(0, n, seg_body, jnp.zeros((tile, 1), jnp.int32))
+    counts_ref[...] = cur
+
+
+def _records_tile_kernel_quarter(
+    summary_ref,    # SMEM (1, 1, n_swords) i32 — bit w: word s*32+w nonzero
+    mask_ref,       # SMEM (1, 1, n_words) i32 — bit q: QUARTER w*32+q hits
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs + 1, 8, SEG) resident slabs, last all 0
+    counts_ref,     # VMEM out (TILE, 1) i32
+    idx_ref,        # VMEM out (TILE, C) i32
+    intg_ref,       # VMEM out (TILE, C) f32
+    dist_ref,       # VMEM out (TILE, C) f32
+    q_list,         # SMEM scratch (n_words*32 + 3,) i32
+    *,
+    cap: int,
+    rank_method: str,
+    group: int,
+    drain: str,
+    pad_qid: int,
+):
+    """Seg-32 (quarter-granularity) record kernel: the trace kernels'
+    quarter broadphase + 4-quarter slab assembly (pallas_kernel.
+    _trace_tile_kernel_quarter) applied to per-hit record emission. The
+    drains are index-agnostic — they take a per-lane prim-index BASE
+    vector, here assembled per group so lane l of quarter j maps to
+    seg_j*128 + off_j*32 + (l - 32 j). Record ordering is preserved:
+    quarters are listed ascending and the drains emit lanes left to
+    right, so per-ray records stay in ascending-primitive-index order."""
+    tile = rays_ref.shape[0]
+    rays_cols = _ray_columns(rays_ref)
+    n_swords = summary_ref.shape[2]
+
+    idx_ref[...] = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
+    intg_ref[...] = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
+    dist_ref[...] = jnp.full((tile, cap), DISTANCE_SENTINEL, jnp.float32)
+
+    def sword_body(sw, n):
+        sword0 = summary_ref[0, 0, sw]
+
+        def walk(state):
+            _, n = state
+
+            def word_body(b, n):
+                word0 = mask_ref[0, 0, sw * 32 + b]
+
+                def emit(state2):
+                    word, n = state2
+                    for s in range(32):
+                        q_list[n] = (sw * 32 + b) * 32 + s
+                        n = n + ((word >> s) & 1)
+                    return n
+
+                return jax.lax.cond(word0 != 0, emit, lambda st: st[1],
+                                    (word0, n))
+
+            return jax.lax.fori_loop(0, 32, word_body, n)
+
+        return jax.lax.cond(sword0 != 0, walk, lambda st: st[1], (sword0, n))
+
+    n = jax.lax.fori_loop(0, n_swords, sword_body, jnp.int32(0))
+    n4 = (n + 3) & ~jnp.int32(3)
+
+    def pad_body(k, carry):
+        q_list[k] = pad_qid
+        return carry
+
+    jax.lax.fori_loop(n, n4, pad_body, 0)
+
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, SEG), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1)
+
+    def grp_body(kg, cur):
+        base = kg * 4
+        rs, bases = [], []
+        for j in range(4):
+            q = q_list[base + j]
+            s = prims_ref[q >> 2]
+            sh = ((j - (q & 3)) & 3) * 32
+            rs.append(pltpu.roll(s, sh, axis=1))
+            # lane l in target quad j holds prim (q>>2)*128 + (q&3)*32
+            # + (l - 32 j): base_j + l with base_j below.
+            bases.append((q >> 2) * SEG + (q & 3) * 32 - 32 * j)
+        quad8 = lane8 >> 5
+        slab = jnp.where(quad8 == 0, rs[0],
+                         jnp.where(quad8 == 1, rs[1],
+                                   jnp.where(quad8 == 2, rs[2], rs[3])))
+        quad1 = lane1 >> 5
+        seg_base = jnp.where(quad1 == 0, bases[0],
+                             jnp.where(quad1 == 1, bases[1],
+                                       jnp.where(quad1 == 2, bases[2],
+                                                 bases[3])))
+        if drain == "network":
+            return _records_slab_drain_network(
+                slab, seg_base, cur, rays_cols,
+                (idx_ref, intg_ref, dist_ref), cap=cap)
+        return _records_slab_drain(slab, seg_base, cur, rays_cols,
+                                   (idx_ref, intg_ref, dist_ref), cap=cap,
+                                   rank_method=rank_method, group=group)
+
+    cur = jax.lax.fori_loop(0, n4 >> 2, grp_body,
+                            jnp.zeros((tile, 1), jnp.int32))
     counts_ref[...] = cur
 
 
@@ -415,10 +518,11 @@ def _records_tile_kernel_stream(
         dma(slot, k).wait()
         if drain == "network":
             cur = _records_slab_drain_network(
-                pbuf[slot], seg_list[k], cur, rays_cols,
+                pbuf[slot], seg_list[k] * SEG, cur, rays_cols,
                 (idx_ref, intg_ref, dist_ref), cap=cap)
         else:
-            cur = _records_slab_drain(pbuf[slot], seg_list[k], cur, rays_cols,
+            cur = _records_slab_drain(pbuf[slot], seg_list[k] * SEG, cur,
+                                      rays_cols,
                                       (idx_ref, intg_ref, dist_ref), cap=cap,
                                       rank_method=rank_method, group=group)
 
@@ -436,7 +540,8 @@ def _records_tile_kernel_stream(
 @functools.partial(
     jax.jit,
     static_argnames=("per_ray_capacity", "tile", "interpret",
-                     "vmem_resident_limit", "rank_method", "group", "drain"),
+                     "vmem_resident_limit", "rank_method", "group", "drain",
+                     "broadphase"),
 )
 def pallas_trace_sph_records(
     rays: Rays,
@@ -448,6 +553,7 @@ def pallas_trace_sph_records(
     rank_method: str = "mxu",
     group: int = 8,
     drain: str = "pick",
+    broadphase: str = "bitmask",
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
     — see module docstring). per_ray_capacity must be a multiple of 128.
@@ -466,6 +572,9 @@ def pallas_trace_sph_records(
     if rank_method not in ("prefix", "mxu"):
         raise ValueError(f"unknown rank_method {rank_method!r} (expected "
                          "'prefix' or 'mxu')")
+    if broadphase not in ("bitmask", "quarter"):
+        raise ValueError(f"unknown broadphase {broadphase!r} (expected "
+                         "'bitmask' or 'quarter')")
     n_rays = rays.n_rays
     pad = (-n_rays) % tile
     if pad:
@@ -478,11 +587,67 @@ def pallas_trace_sph_records(
     prims, n_prim_pad = _pack_prims(spheres)
     resident = (n_prim_pad // SEG) * 8 * SEG * 4 <= vmem_resident_limit
 
+    n_tiles = r_pad // tile
+    cap = per_ray_capacity
+
+    if broadphase == "quarter":
+        # Seg-32 culling + 4-quarter slab assembly (see
+        # _records_tile_kernel_quarter). Resident scenes only: the assembly
+        # loads parent slabs dynamically from the resident buffer.
+        from grace_tpu.trace.pallas_broadphase import dense_tile_masks_quarter
+
+        if not resident:
+            raise ValueError(
+                "broadphase='quarter' requires the VMEM-resident regime; "
+                "use the default bitmask broadphase for larger scenes")
+        words, summary = dense_tile_masks_quarter(rays, spheres, tile)
+        n_segs_res = n_prim_pad // SEG
+        prims3d = prims.reshape(8, n_segs_res, SEG).transpose(1, 0, 2)
+        prims3d = jnp.concatenate(
+            [prims3d, jnp.zeros((1, 8, SEG), jnp.float32)], axis=0)
+        out_shape_q = (
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
+        )
+        counts, idx, intg, dist = pl.pallas_call(
+            functools.partial(_records_tile_kernel_quarter, cap=cap,
+                              rank_method=rank_method, group=group,
+                              drain=drain, pad_qid=n_segs_res * 4),
+            out_shape=out_shape_q,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, summary.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, words.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 16), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, cap), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, cap), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, cap), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((words.shape[1] * 32 + 3,), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_resident_limit + 16 * 1024 * 1024),
+            interpret=interpret,
+        )(summary[:, None, :], words[:, None, :], packed, prims3d)
+        return RecordTraceResult(
+            counts[:n_rays, 0], idx[:n_rays], intg[:n_rays], dist[:n_rays])
+
     from grace_tpu.trace.pallas_broadphase import dense_tile_masks
 
     masks = dense_tile_masks(rays, spheres, tile)
-    n_tiles = r_pad // tile
-    cap = per_ray_capacity
 
     out_shape = (
         jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),

@@ -229,3 +229,27 @@ def test_bad_drain_and_rank_method_raise(rng):
     with pytest.raises(ValueError, match="rank_method"):
         pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
                                  interpret=True, rank_method="mxuu")
+
+
+def test_quarter_broadphase_matches_bitmask(rng):
+    """The seg-32 quarter broadphase + assembled-slab record kernel must
+    reproduce the bitmask kernel's records EXACTLY (same drains, same
+    ascending-primitive order, same counts/overflow semantics) for both
+    drain families."""
+    ss, tree, rays = setup(rng)
+    base = pallas_trace_sph_records(rays, ss, per_ray_capacity=256, tile=32,
+                                    interpret=True)
+    for drain in ("pick", "network"):
+        rec = pallas_trace_sph_records(rays, ss, per_ray_capacity=256,
+                                       tile=32, interpret=True,
+                                       broadphase="quarter", drain=drain)
+        for a, b in zip(rec, base):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), drain
+    # overflow: tighter capacity keeps exact counts, valid prefix identical
+    rec = pallas_trace_sph_records(rays, ss, per_ray_capacity=128, tile=32,
+                                   interpret=True, broadphase="quarter")
+    assert np.array_equal(np.asarray(rec.counts), np.asarray(base.counts))
+    nv = np.minimum(np.asarray(rec.counts), 128)
+    got, want = np.asarray(rec.indices), np.asarray(base.indices)
+    for r in range(got.shape[0]):
+        assert np.array_equal(got[r, :nv[r]], want[r, :nv[r]])
