@@ -39,8 +39,9 @@ def main(configs):
         drain, tile = parts[0], int(parts[1])
         rank_method = parts[2] if len(parts) > 2 else "prefix"
         group = int(parts[3]) if len(parts) > 3 else 1
+        broadphase = parts[4] if len(parts) > 4 else "bitmask"
         kw = dict(per_ray_capacity=512, tile=tile, drain=drain,
-                  rank_method=rank_method, group=group)
+                  rank_method=rank_method, group=group, broadphase=broadphase)
         rec = pallas_trace_sph_records(rays_s, ss, **kw)
         ok = bool(jnp.all(rec.counts == hc))
         if not ok:

@@ -35,10 +35,13 @@ re-designs record emission around what the VPU does have:
 
 Broadphase: same bitmask cull as the fast cumulative kernel
 (pallas_broadphase.dense_tile_masks) with the set-bit -> SMEM seg-list
-decode. Primitive slabs are VMEM-resident when the particle set fits the
-VMEM budget (~3M particles) and stream from HBM through a double-buffered
-DMA pipeline otherwise (the bitmask-stream pattern of pallas_kernel.py) —
-per-hit tracing works at any scene size, like the reference's trace_sph.
+decode, or ``broadphase='quarter'`` for the seg-32 granularity +
+4-quarter slab assembly of the trace kernels (2x fewer tested pairs;
+resident scenes only). Primitive slabs are VMEM-resident when the
+particle set fits the VMEM budget (~3M particles) and stream from HBM
+through a double-buffered DMA pipeline otherwise (the bitmask-stream
+pattern of pallas_kernel.py) — per-hit tracing works at any scene size,
+like the reference's trace_sph.
 """
 
 from __future__ import annotations
