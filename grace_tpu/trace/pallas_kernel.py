@@ -367,6 +367,7 @@ def _trace_tile_kernel_quarter(
     than the vector win."""
     tile = rays_ref.shape[0]
     n_swords = summary_ref.shape[2]
+    n_words = mask_ref.shape[2]
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
 
     def sword_body(sw, n):
@@ -388,7 +389,13 @@ def _trace_tile_kernel_quarter(
                 return jax.lax.cond(word0 != 0, emit, lambda st: st[1],
                                     (word0, n))
 
-            return jax.lax.fori_loop(0, 32, word_body, n)
+            # Bound the walk by the REAL word count: the last summary
+            # word covers fewer than 32 words when n_words % 32 != 0, and
+            # reading past the SMEM block is garbage on hardware (and
+            # clamp-to-last in interpret mode, which emits phantom
+            # quarter ids).
+            hi = jnp.minimum(jnp.int32(32), n_words - sw * 32)
+            return jax.lax.fori_loop(0, hi, word_body, n)
 
         return jax.lax.cond(sword0 != 0, walk, lambda st: st[1], (sword0, n))
 
@@ -436,6 +443,113 @@ def _trace_tile_kernel_quarter(
     acc0 = jnp.zeros((tile, SEG), jnp.float32)
     acc = jax.lax.fori_loop(0, n_groups // unroll, body, acc0)
     acc = jax.lax.fori_loop((n_groups // unroll) * unroll, n_groups, tail, acc)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+
+def _trace_tile_kernel_quarter_stream(
+    summary_ref,    # SMEM (1, 1, n_swords) i32
+    mask_ref,       # SMEM (1, 1, n_words) i32 quarter-granularity words
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # HBM (8, N_pad) component-major
+    out_ref,        # VMEM (TILE, 1)
+    q_list,         # SMEM scratch (n_words*32 + 3,) i32
+    pbuf,           # VMEM scratch (8, 8, SEG): 2 groups x 4 parent slabs
+    sem,            # DMA sems (8,)
+    *,
+    mode: str,
+    integral_deg: int = HORNER1_DEG,
+):
+    """Streaming (any-scene-size) quarter kernel: the seg-32 decode +
+    4-quarter slab assembly of _trace_tile_kernel_quarter, with each
+    group's 4 PARENT slabs double-buffered from HBM (two groups in
+    flight). Tail padding points at quarter 0 and is masked by zeroing
+    the lanes of out-of-list quarters (the resident variant's appended
+    zero slab has no HBM analog). DMA volume is 4x the bitmask-stream
+    kernel per tested primitive (each 128-lane compute slab pulls 4
+    parent slabs) — still ~milliseconds of HBM traffic at bench scale."""
+    tile = rays_ref.shape[0]
+    n_swords = summary_ref.shape[2]
+    n_words = mask_ref.shape[2]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+
+    def sword_body(sw, n):
+        sword0 = summary_ref[0, 0, sw]
+
+        def walk(state):
+            _, n = state
+
+            def word_body(b, n):
+                word0 = mask_ref[0, 0, sw * 32 + b]
+
+                def emit(state2):
+                    word, n = state2
+                    for s in range(32):
+                        q_list[n] = (sw * 32 + b) * 32 + s
+                        n = n + ((word >> s) & 1)
+                    return n
+
+                return jax.lax.cond(word0 != 0, emit, lambda st: st[1],
+                                    (word0, n))
+
+            # Bound the walk by the REAL word count: the last summary
+            # word covers fewer than 32 words when n_words % 32 != 0, and
+            # reading past the SMEM block is garbage on hardware (and
+            # clamp-to-last in interpret mode, which emits phantom
+            # quarter ids).
+            hi = jnp.minimum(jnp.int32(32), n_words - sw * 32)
+            return jax.lax.fori_loop(0, hi, word_body, n)
+
+        return jax.lax.cond(sword0 != 0, walk, lambda st: st[1], (sword0, n))
+
+    n = jax.lax.fori_loop(0, n_swords, sword_body, jnp.int32(0))
+    n4 = (n + 3) & ~jnp.int32(3)
+
+    def pad_body(k, carry):
+        q_list[k] = 0
+        return carry
+
+    jax.lax.fori_loop(n, n4, pad_body, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, SEG), 1)
+    quad = lane >> 5
+
+    def dma(slot, qk):
+        seg = q_list[qk] >> 2
+        return pltpu.make_async_copy(
+            prims_ref.at[:, pl.ds(seg * SEG, SEG)], pbuf.at[slot],
+            sem.at[slot])
+
+    for j in range(8):
+        @pl.when(j < n4)
+        def _(j=j):
+            dma(j, j).start()
+
+    def grp_body(kg, acc):
+        base_slot = jax.lax.rem(kg, 2) * 4
+        rs = []
+        for j in range(4):
+            dma(base_slot + j, kg * 4 + j).wait()
+            q = q_list[kg * 4 + j]
+            s = pbuf[base_slot + j]
+            sh = ((j - (q & 3)) & 3) * 32
+            rs.append(pltpu.roll(s, sh, axis=1))
+        slab = jnp.where(quad == 0, rs[0],
+                         jnp.where(quad == 1, rs[1],
+                                   jnp.where(quad == 2, rs[2], rs[3])))
+        # zero the lanes of tail-padding quarters (quarter j of group kg is
+        # real iff kg*4 + j < n, i.e. quad < n - kg*4)
+        slab = jnp.where(quad < n - kg * 4, slab, 0.0)
+        acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                          integral_deg=integral_deg)
+        for j in range(4):
+            @pl.when((kg + 2) * 4 + j < n4)
+            def _(j=j):
+                dma(base_slot + j, (kg + 2) * 4 + j).start()
+
+        return acc
+
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n4 >> 2, grp_body, acc0)
     out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
@@ -613,17 +727,43 @@ def pallas_trace_sph(
     resident_bm = (n_prim_pad_bm // SEG) * 8 * SEG * 4 <= vmem_resident_limit
     if broadphase == "quarter":
         # Seg-32 culling granularity + in-kernel 4-quarter slab assembly
-        # (see _trace_tile_kernel_quarter). Requires VMEM residency (the
-        # assembly loads parent slabs dynamically); large scenes fall back
-        # to the bitmask-stream path via broadphase='bitmask'.
+        # (see _trace_tile_kernel_quarter); VMEM-resident slabs when the
+        # particle set fits, else each group's 4 parent slabs stream from
+        # HBM double-buffered (_trace_tile_kernel_quarter_stream).
         from grace_tpu.trace.pallas_broadphase import dense_tile_masks_quarter
 
-        if not resident_bm:
-            raise ValueError(
-                "broadphase='quarter' requires the VMEM-resident regime "
-                f"({n_prim_pad_bm} padded prims > limit); use 'bitmask'")
         words, summary = dense_tile_masks_quarter(rays, spheres, tile)
         n_tiles = r_pad_bm // tile
+        if not resident_bm:
+            out = pl.pallas_call(
+                functools.partial(_trace_tile_kernel_quarter_stream,
+                                  mode=mode, integral_deg=integral_deg),
+                out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, summary.shape[1]),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, words.shape[1]),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tile, 16), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                ],
+                out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.SMEM((words.shape[1] * 32 + 3,), jnp.int32),
+                    pltpu.VMEM((8, 8, SEG), jnp.float32),
+                    pltpu.SemaphoreType.DMA((8,)),
+                ],
+                interpret=interpret,
+            )(summary[:, None, :], words[:, None, :], packed_bm, prims_bm)
+            values = out[:n_rays, 0]
+            if mode == "hitcount":
+                values = values.astype(jnp.int32)
+            return values, jnp.zeros((n_tiles,), jnp.bool_)
         n_segs_res = n_prim_pad_bm // SEG
         prims3d = prims_bm.reshape(8, n_segs_res, SEG).transpose(1, 0, 2)
         # one all-zero slab appended: the group-of-4 padding target

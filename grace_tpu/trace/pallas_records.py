@@ -402,6 +402,7 @@ def _records_tile_kernel_quarter(
     tile = rays_ref.shape[0]
     rays_cols = _ray_columns(rays_ref)
     n_swords = summary_ref.shape[2]
+    n_words = mask_ref.shape[2]
 
     idx_ref[...] = jnp.full((tile, cap), INDEX_SENTINEL, jnp.int32)
     intg_ref[...] = jnp.full((tile, cap), VALUE_SENTINEL, jnp.float32)
@@ -426,7 +427,13 @@ def _records_tile_kernel_quarter(
                 return jax.lax.cond(word0 != 0, emit, lambda st: st[1],
                                     (word0, n))
 
-            return jax.lax.fori_loop(0, 32, word_body, n)
+            # Bound the walk by the REAL word count: the last summary
+            # word covers fewer than 32 words when n_words % 32 != 0, and
+            # reading past the SMEM block is garbage on hardware (and
+            # clamp-to-last in interpret mode, which emits phantom
+            # quarter ids).
+            hi = jnp.minimum(jnp.int32(32), n_words - sw * 32)
+            return jax.lax.fori_loop(0, hi, word_body, n)
 
         return jax.lax.cond(sword0 != 0, walk, lambda st: st[1], (sword0, n))
 

@@ -151,3 +151,24 @@ def test_integral_deg_flavors_match_engine(rng):
             rays, ss, tree, tile=64, mode="cumulative", interpret=True,
             broadphase="quarter", integral_deg=deg)
         np.testing.assert_allclose(np.array(got), ref, rtol=5e-4, atol=1e-2)
+
+
+def test_quarter_streaming_matches_resident(rng):
+    """Forcing the HBM-streaming quarter variant (tiny vmem_resident_limit)
+    must reproduce the resident quarter kernel exactly — the seg-32 fast
+    path works at any scene size (exercises the group DMA pipeline and the
+    tail-padding lane zeroing)."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(13), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    res, _ = pallas_trace_sph(rays, ss, tree, tile=64, mode="hitcount",
+                              interpret=True, broadphase="quarter")
+    stm, _ = pallas_trace_sph(rays, ss, tree, tile=64, mode="hitcount",
+                              interpret=True, broadphase="quarter",
+                              vmem_resident_limit=1024)
+    assert np.array_equal(np.array(res), np.array(stm))
+    res2, _ = pallas_trace_sph(rays, ss, tree, tile=64, interpret=True,
+                               broadphase="quarter")
+    stm2, _ = pallas_trace_sph(rays, ss, tree, tile=64, interpret=True,
+                               broadphase="quarter", vmem_resident_limit=1024)
+    np.testing.assert_allclose(np.array(stm2), np.array(res2), rtol=2e-6)
