@@ -86,6 +86,21 @@ def gate_trace_quarter():
                                         tile=64), SPHERES)
 
 
+def gate_trace_quarter_stream():
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    _compile(lambda s: pallas_trace_sph(_rays(), s, broadphase="quarter",
+                                        tile=64, vmem_resident_limit=0),
+             SPHERES)
+
+
+def gate_trace_quarter_fastint():
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    _compile(lambda s: pallas_trace_sph(_rays(), s, broadphase="quarter",
+                                        tile=64, integral_deg=-12), SPHERES)
+
+
 def gate_trace_hitcount():
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 
@@ -234,6 +249,8 @@ GATES = [
     ("trace/bitmask-stream", gate_trace_bitmask_stream),
     ("trace/bitmask-hitcount", gate_trace_hitcount),
     ("trace/quarter", gate_trace_quarter),
+    ("trace/quarter-stream", gate_trace_quarter_stream),
+    ("trace/quarter-fastint", gate_trace_quarter_fastint),
     ("trace/list-resident", gate_trace_list_resident),
     ("trace/list-stream", gate_trace_list_stream),
     ("trace/subtiled", gate_trace_subtiled),
