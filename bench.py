@@ -7,23 +7,34 @@ density) render. Baseline for vs_baseline is the north-star target 1e8
 rays/s/chip (BASELINE.json) since the reference publishes no numbers
 (BASELINE.md).
 
-Two compute paths are timed, and cross-checked against each other and the
-XLA engine ON DEVICE before timing (a crashed kernel on this platform can
-look like a success — the checks force scalar fetches):
+DESIGN (round 5): headline-first, fail-fast. Two prior rounds lost their
+driver-parsed number to a crash (r3) and a device-wedge timeout (r4)
+because the old bench measured six metrics through many large compiles
+and printed its single JSON line only at the very end. Now:
 
-  * splat  — the MXU low-rank splatting renderer (trace/splat.py); the
-             headline number. Camera-dependent prep (bucketing, ~20 ms) is
-             excluded from the frame time like ray gen+sort in the
-             reference profiler, and reported as bucket_prep_ms.
-  * trace  — the general fused Pallas trace kernel (bitmask broadphase,
-             re-culled every frame), reported as general_trace_rays_per_s.
+  * The DEFAULT run measures only the headline: build + rays + bucket
+    prep + splat, a full-scale splat-vs-trace parity gate, then
+    device_frame_ms on the splat. The JSON line prints (flushed)
+    the moment it is known, and the process exits 0.
+  * Every stage logs a timestamped line to stderr, so a timeout is
+    attributable to a stage.
+  * The persistent XLA compilation cache (.jax_cache/) makes a warm
+    rerun compile nothing.
+  * GRACE_BENCH_FULL=1 additionally measures the secondary metrics
+    (general fused trace, bucket prep, both train steps) AFTER the
+    headline line has printed, and prints them as a second JSON line.
 
-Prints exactly one JSON line.
+Parity is gated ON DEVICE before timing (a crashed kernel on this
+platform can look like a success — the checks force scalar fetches):
+the MXU low-rank splat image is compared at full scale against the
+independent fused Pallas trace kernel (quarter broadphase; exact same
+integral as the bitmask kernel, r4 sweep).
 """
 
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -32,12 +43,34 @@ N_PARTICLES = int(os.environ.get("GRACE_BENCH_PARTICLES", 1 << 20))
 N_RAYS = int(os.environ.get("GRACE_BENCH_RAYS", 512 * 512))
 MAX_PER_LEAF = 32
 NORTH_STAR_RAYS_PER_S = 1e8
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 CAM = (0.5, 0.5, -2.0)
 LOOK = (0.5, 0.5, 0.5)
 UP = (0.0, 1.0, 0.0)
 VEXT = 1.2
 LENGTH = 6.0
+
+_T0 = time.perf_counter()
+
+
+def log(msg):
+    """Stage marker on stderr: makes any hang attributable to a stage."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compile cache: a warm bench rerun compiles nothing."""
+    import jax
+
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never a failure
+        log(f"compilation cache unavailable: {e}")
 
 
 def make_clustered_particles(rng, n):
@@ -105,53 +138,67 @@ def device_frame_ms(body, k1=2, k2=18, reps=3):
     return (chain(k2) - chain(k1)) / (k2 - k1) * 1e3
 
 
-def main(sharded: bool = False):
+def setup_scene():
+    """Build tree + sorted rays + splat buckets for the bench scene."""
     import jax
     import jax.numpy as jnp
     from grace_tpu.build.sph import build_sph_tree
     from grace_tpu.rays.gen import orthographic_projection_rays, spatial_sort_rays
-    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
-    from grace_tpu.trace.splat import bucket_prims_ortho, splat_image
-    from grace_tpu.trace.sph import trace_hitcounts_sph
+    from grace_tpu.trace.splat import bucket_prims_ortho
 
     rng = np.random.default_rng(2026)
     spheres = jnp.asarray(make_clustered_particles(rng, N_PARTICLES))
     side = int(np.sqrt(N_RAYS))
 
+    log("tree build (compile + run)")
     build = jax.jit(lambda s: build_sph_tree(s, MAX_PER_LEAF))
     sorted_spheres, tree, _ = build(spheres)
     jax.block_until_ready(sorted_spheres)
 
+    log("ray gen + spatial sort")
     rays = orthographic_projection_rays(side, side, CAM, LOOK, UP, VEXT, LENGTH)
     rays_s, _, inv = jax.jit(spatial_sort_rays)(rays)
+    jax.block_until_ready(rays_s.origins)
 
-    # ---- on-device parity gate (before any timing) -------------------------
-    # 1. fused kernel hitcounts == XLA engine hitcounts, exactly, on a
-    #    16k-ray slice (scalar-fetched: surfaces async device faults).
-    check_rays = jax.tree.map(lambda x: x[:16384], rays_s)
-    hc_fast, ovf = pallas_trace_sph(check_rays, sorted_spheres, tree,
-                                    tile=64, mode="hitcount",
-                                    broadphase="bitmask")
-    hc_ref = trace_hitcounts_sph(check_rays, sorted_spheres, tree)
-    check_trace = bool(jnp.all(hc_fast == hc_ref)) and not bool(jnp.any(ovf))
-    assert check_trace, "fused trace kernel hitcount parity FAILED on device"
-
-    # 2. splat image vs the fused trace kernel's cumulative values at full
-    #    scale (both approximate the same sums; gate well inside the combined
-    #    trace-table 5e-4 + separable-fit 3.1e-4 tolerances). Headline config
-    #    (r3 hardware sweep, benchmarks/r3_splat_sweep2.py): 32x128 tiles in
-    #    32-column bands, 512-prim chunks, jointly-fit deg-8 basis.
+    log("bucket prep (headline config: 32x128 tiles, band 32, chunk 512)")
     buckets = bucket_prims_ortho(sorted_spheres, CAM, LOOK, UP, VEXT, LENGTH,
                                  side, side, tile_w=32, tile_h=128, chunk=512,
                                  band=32)
     assert not bool(buckets.overflow), "splat tile overflow; enlarge tiles"
+    return sorted_spheres, tree, rays_s, inv, buckets, side
+
+
+def main(sharded: bool = False):
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+    from grace_tpu.trace.splat import splat_image
+
+    log(f"jax ready: {jax.devices()}")
+    sorted_spheres, tree, rays_s, inv, buckets, side = setup_scene()
+
+    # ---- on-device parity gate (before any timing) -------------------------
+    # Splat image vs the independent fused Pallas trace kernel's cumulative
+    # values at full scale (both approximate the same sums; gate well inside
+    # the combined trace-table 5e-4 + separable-fit 3.1e-4 tolerances).
+    # Headline splat config (r3 hardware sweep, benchmarks/r3_splat_sweep2.py):
+    # 32x128 tiles in 32-column bands, 512-prim chunks, jointly-fit deg-8
+    # basis. Trace side: quarter broadphase t128/unroll 8 (r4 sweep best;
+    # integral identical to the bitmask kernel). Scalar fetches via rel_err
+    # force execution and surface async device faults.
+    log("splat image (compile + run)")
     img = splat_image(buckets, tile_w=32, tile_h=128, basis="deg8")
-    trace_v, ovf_t = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=64,
-                                      broadphase="bitmask")
-    assert not bool(jnp.any(ovf_t))
+    jax.block_until_ready(img)
+
+    log("fused trace full scale for parity (compile + run)")
+    trace_v, ovf_t = pallas_trace_sph(rays_s, sorted_spheres, tree, tile=128,
+                                      broadphase="quarter", unroll=8)
+    assert not bool(jnp.any(ovf_t)), "trace overflow flag set"
     img_trace = jnp.reshape(trace_v[inv], (side, side))
     rel_err = float(jnp.max(jnp.abs(img - img_trace)) / jnp.max(img_trace))
     assert np.isfinite(rel_err) and rel_err < 1e-3, f"splat/trace mismatch {rel_err}"
+    log(f"parity OK: splat vs trace rel_err = {rel_err:.2e}")
 
     # ---- optional sharded mode (mesh over all available chips; on the one
     # real chip this is the degenerate 1x1 mesh — validates that the sharded
@@ -170,10 +217,19 @@ def main(sharded: bool = False):
         tr_sh, ovf_sh = sharded_pallas_render(mesh, rays_s, sorted_spheres,
                                               tile=64)
         check_overflow(ovf_sh, "sharded trace overflow")
-        assert bool(jnp.all(tr_sh == trace_v)), "sharded trace != single"
-        splat_sh_ms = pipelined_ms(
-            lambda: sharded_splat_render(mesh, buckets, tile_w=32, tile_h=128,
-                                         basis="deg8"))
+        assert bool(jnp.all(tr_sh == pallas_trace_sph(
+            rays_s, sorted_spheres, tree, tile=64)[0])), \
+            "sharded trace != single"
+
+        # device-time chained frames (NOT pipelined_ms: identical-arg
+        # dispatch dedup on this platform reports fantasy numbers).
+        def splat_sh_body(i, acc):
+            bb = buckets._replace(xcols=buckets.xcols + acc * 1e-38)
+            im = sharded_splat_render(mesh, bb, tile_w=32, tile_h=128,
+                                      basis="deg8")
+            return acc + im[0, 0] * 1e-38 + 1.0
+
+        splat_sh_ms = device_frame_ms(splat_sh_body)
         rays_per_s = N_RAYS / (splat_sh_ms / 1e3)
         print(json.dumps({
             "metric": "sph_column_density_rays_per_s_sharded",
@@ -183,26 +239,88 @@ def main(sharded: bool = False):
             "n_devices": n_dev,
             "sharded_equals_single": True,
             "splat_frame_ms": round(splat_sh_ms, 3),
-        }))
+        }), flush=True)
         return
 
-    # ---- timing (pure device time via data-dependent chained frames; see
-    # device_frame_ms — the reference times kernels with cudaEvents, i.e.
-    # device-side, and the axon tunnel dedups identical dispatches) ---------
+    # ---- headline timing (pure device time via data-dependent chained
+    # frames; see device_frame_ms — the reference times kernels with
+    # cudaEvents, i.e. device-side, and the axon tunnel dedups identical
+    # dispatches) -----------------------------------------------------------
+    log("headline timing: device_frame_ms(splat)")
+
     def splat_body(i, acc):
         bb = buckets._replace(xcols=buckets.xcols + acc * 1e-38)
         im = splat_image(bb, tile_w=32, tile_h=128, basis="deg8")
         return acc + im[0, 0] * 1e-38 + 1.0
 
+    splat_ms = device_frame_ms(splat_body)
+    rays_per_s = N_RAYS / (splat_ms / 1e3)
+
+    # THE headline line: printed the moment it is known, flushed, so a hang
+    # in any later (optional) stage cannot lose it.
+    print(
+        json.dumps(
+            {
+                "metric": "sph_column_density_rays_per_s_per_chip",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / NORTH_STAR_RAYS_PER_S,
+                "splat_frame_ms": round(splat_ms, 3),
+                "device_parity_check": "ok",
+                "splat_vs_trace_rel_err": rel_err,
+            }
+        ),
+        flush=True,
+    )
+    log(f"HEADLINE DONE: {rays_per_s:.4g} rays/s ({splat_ms:.3f} ms/frame)")
+
+    if os.environ.get("GRACE_BENCH_FULL", "0") != "1":
+        return
+
+    # ---- secondary metrics (manual runs only: GRACE_BENCH_FULL=1) ---------
+    secondary = secondary_metrics(sorted_spheres, tree, rays_s, buckets,
+                                  img_trace)
+    print(json.dumps({"metric": "secondary_metrics", **secondary}), flush=True)
+
+
+def secondary_metrics(sorted_spheres, tree, rays_s, buckets, img_trace):
+    """The non-headline measurements (each logged; run order = cheap first)."""
+    import jax
+    import jax.numpy as jnp
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+    from grace_tpu.trace.sph import trace_hitcounts_sph
+
+    side = int(np.sqrt(N_RAYS))
+    out = {}
+
+    # fused kernel hitcounts == XLA engine hitcounts, exactly, on a 16k-ray
+    # slice (scalar-fetched: surfaces async device faults).
+    log("secondary: engine-vs-fused hitcount check (16k rays)")
+    check_rays = jax.tree.map(lambda x: x[:16384], rays_s)
+    hc_fast, ovf = pallas_trace_sph(check_rays, sorted_spheres, tree,
+                                    tile=64, mode="hitcount",
+                                    broadphase="bitmask")
+    hc_ref = trace_hitcounts_sph(check_rays, sorted_spheres, tree)
+    assert bool(jnp.all(hc_fast == hc_ref)) and not bool(jnp.any(ovf)), \
+        "fused trace kernel hitcount parity FAILED on device"
+    out["engine_parity_check"] = "ok"
+
+    log("secondary: general fused trace timing (quarter t128)")
+
     def trace_body(i, acc):
         from grace_tpu.core.types import Rays
         rr = Rays(rays_s.origins, rays_s.directions,
                   rays_s.lengths + acc * 1e-38)
-        # quarter (seg-32) broadphase, r4 sweep best (t128/unroll 8): same
-        # exact integral, ~1.6x the bitmask kernel's rate on this scene.
         v, _ = pallas_trace_sph(rr, sorted_spheres, tree, tile=128,
                                 broadphase="quarter", unroll=8)
         return acc + v[0] * 1e-38 + 1.0
+
+    trace_ms = device_frame_ms(trace_body, k1=2, k2=8)
+    out["general_trace_rays_per_s"] = N_RAYS / (trace_ms / 1e3)
+    out["general_trace_ms"] = round(trace_ms, 2)
+
+    log("secondary: bucket prep timing")
+    from grace_tpu.trace.splat import bucket_prims_ortho
 
     def bucket_body(i, acc):
         bb = bucket_prims_ortho(sorted_spheres + acc * 1e-38, CAM, LOOK, UP,
@@ -210,12 +328,12 @@ def main(sharded: bool = False):
                                 tile_h=128, chunk=512, band=32)
         return acc + bb.slabs[0, 0, 0] * 1e-38 + 1.0
 
-    splat_ms = device_frame_ms(splat_body)
-    trace_ms = device_frame_ms(trace_body, k1=2, k2=8)
+    out["bucket_prep_ms"] = round(device_frame_ms(bucket_body, k1=2, k2=8), 2)
 
     # MXU train step (trace/splat_grad.py): custom_vjp sort-free splat,
     # forward AND backward rank-K MXU contractions — render -> L2 loss vs
     # target -> particle + weight gradients -> SGD update, full bench scale.
+    log("secondary: sort-free splat train step")
     from grace_tpu.trace.splat_grad import OrthoCamera, make_splat_trainer
 
     cam = OrthoCamera(CAM, LOOK, UP, VEXT, LENGTH, side, side)
@@ -239,10 +357,11 @@ def main(sharded: bool = False):
         _, _, loss = train_step(sorted_spheres + acc * 1e-38, weights)
         return acc + loss * 1e-38 + 1.0
 
-    train_ms = device_frame_ms(train_body, k1=1, k2=4)
+    out["train_step_ms"] = round(device_frame_ms(train_body, k1=1, k2=4), 2)
 
     # General (any-ray-bundle) differentiable step: fused Pallas trace
     # forward + segment-major backward (trace/pallas_render.py).
+    log("secondary: general differentiable train step")
     from grace_tpu.trace.pallas_render import make_fused_renderer
 
     n_bwd_tiles = (N_RAYS + 127) // 128
@@ -266,35 +385,11 @@ def main(sharded: bool = False):
         _, _, loss = train_step_general(sorted_spheres + acc * 1e-38, weights)
         return acc + loss * 1e-38 + 1.0
 
-    train_general_ms = device_frame_ms(train_general_body, k1=1, k2=3)
-    bucket_ms = device_frame_ms(bucket_body, k1=2, k2=8)
-
-    # final fault check: scalar-fetch a fresh frame
-    total = float(jnp.sum(splat_image(buckets, tile_w=32, tile_h=128,
-                                      basis="deg8")))
-    assert np.isfinite(total) and total > 0
-
-    rays_per_s = N_RAYS / (splat_ms / 1e3)
-    print(
-        json.dumps(
-            {
-                "metric": "sph_column_density_rays_per_s_per_chip",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / NORTH_STAR_RAYS_PER_S,
-                "general_trace_rays_per_s": N_RAYS / (trace_ms / 1e3),
-                "bucket_prep_ms": round(bucket_ms, 2),
-                "splat_frame_ms": round(splat_ms, 3),
-                "train_step_ms": round(train_ms, 2),
-                "train_step_general_ms": round(train_general_ms, 2),
-                "device_parity_check": "ok",
-                "splat_vs_trace_rel_err": rel_err,
-            }
-        )
-    )
+    out["train_step_general_ms"] = round(
+        device_frame_ms(train_general_body, k1=1, k2=3), 2)
+    log("secondary metrics done")
+    return out
 
 
 if __name__ == "__main__":
-    import sys
-
     main(sharded="--sharded" in sys.argv)

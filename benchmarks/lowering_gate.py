@@ -101,6 +101,21 @@ def gate_trace_quarter_fastint():
                                         tile=64, integral_deg=-12), SPHERES)
 
 
+def gate_trace_qlist():
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    _compile(lambda s: pallas_trace_sph(_rays(), s, broadphase="qlist",
+                                        tile=64, max_chunks=64), SPHERES)
+
+
+def gate_trace_qlist_fastint():
+    from grace_tpu.trace.pallas_kernel import pallas_trace_sph
+
+    _compile(lambda s: pallas_trace_sph(_rays(), s, broadphase="qlist",
+                                        tile=32, max_chunks=64,
+                                        integral_deg=-12, unroll=8), SPHERES)
+
+
 def gate_trace_hitcount():
     from grace_tpu.trace.pallas_kernel import pallas_trace_sph
 
@@ -251,6 +266,8 @@ GATES = [
     ("trace/quarter", gate_trace_quarter),
     ("trace/quarter-stream", gate_trace_quarter_stream),
     ("trace/quarter-fastint", gate_trace_quarter_fastint),
+    ("trace/qlist", gate_trace_qlist),
+    ("trace/qlist-fastint", gate_trace_qlist_fastint),
     ("trace/list-resident", gate_trace_list_resident),
     ("trace/list-stream", gate_trace_list_stream),
     ("trace/subtiled", gate_trace_subtiled),

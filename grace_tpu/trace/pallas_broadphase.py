@@ -147,6 +147,119 @@ def dense_tile_masks_quarter(
     return words, summary
 
 
+def _popcount32(v: jax.Array) -> jax.Array:
+    """Per-lane popcount of i32 words (SWAR; logical shifts — jnp's >> is
+    arithmetic on int32 and would smear sign bits)."""
+    lsr = jax.lax.shift_right_logical
+    v = v - (lsr(v, 1) & jnp.int32(0x55555555))
+    v = (v & jnp.int32(0x33333333)) + (lsr(v, 2) & jnp.int32(0x33333333))
+    v = (v + lsr(v, 4)) & jnp.int32(0x0F0F0F0F)
+    return lsr(v * jnp.int32(0x01010101), 24)
+
+
+def compact_mask_words(words: jax.Array, max_q: int):
+    """Vectorized set-bit compaction: quarter-granularity bitmask words ->
+    per-tile dense quarter-id lists, entirely in XLA.
+
+    This replaces the trace kernels' in-kernel scalar decode (the
+    summary-walk + branch-free 32-emit of _trace_tile_kernel_quarter),
+    whose ~5k scalar cycles/tile is what made fine ray tiles LOSE on
+    hardware despite testing fewer pairs (r4 addendum,
+    benchmarks/results/general_trace_floor_r3.md). The compaction is
+    gather-free (TPU gathers are the other slow path): a two-level
+    "which word holds output j" search done as broadcast counts + one-hot
+    batched matmuls, then a 32-step bit-rank select —
+
+      level A  sword (32-word group) exclusive bases; s(j) = last sword
+               with base <= j via a [T, S, max_q] broadcast count
+               (the searchsorted-free pattern, CLAUDE.md);
+      level B  in-sword word bases; the chosen sword's 32-word base row
+               and bit rows are PICKED with one-hot f32 matmuls (exact:
+               counts < 2^24, bits split 16/16) — no take_along_axis;
+      level C  j's rank within its word selects the bit by a 32-step
+               cumulative-count scan (vector ops over [T, max_q]).
+
+    Returns (q_ids i32[T, max_q] ascending, zero-padded; n_q i32[T];
+    overflow bool[T]). Cost at bench scale (8192 tiles x 1024 words,
+    max_q=256): ~10 fused elementwise passes + two [T, max_q, 32]x2
+    batched matmuls — O(ms), amortized over the whole frame.
+    """
+    lsr = jax.lax.shift_right_logical
+    n_tiles, n_words = words.shape
+    pad_w = (-n_words) % 32
+    if pad_w:
+        words = jnp.pad(words, ((0, 0), (0, pad_w)))
+    n_swords = words.shape[1] // 32
+    w3 = words.reshape(n_tiles, n_swords, 32)                  # [T, S, 32]
+    pc = _popcount32(w3)                                       # [T, S, 32]
+    csum = jnp.cumsum(pc, axis=2)
+    wbase = csum - pc                                          # in-sword excl
+    sc = csum[:, :, 31]                                        # [T, S]
+    sbase = jnp.cumsum(sc, axis=1) - sc                        # [T, S] excl
+    n_q = (sbase[:, -1] + sc[:, -1]).astype(jnp.int32)
+
+    j = jnp.arange(max_q, dtype=jnp.int32)                     # [Q]
+    # level A: containing sword = last s with sbase <= j (consecutive equal
+    # bases are empty swords; "last" lands on the one that holds j).
+    s_of_j = jnp.sum(
+        (sbase[:, :, None] <= j[None, None, :]).astype(jnp.int32), axis=1
+    ) - 1                                                      # [T, Q]
+    s_of_j = jnp.maximum(s_of_j, 0)
+    oh_s = (s_of_j[:, :, None] == jnp.arange(n_swords)[None, None, :]
+            ).astype(jnp.float32)                              # [T, Q, S]
+
+    # level B: pick the sword's base/word rows with batched one-hot matmuls
+    # (f32 exact: bases < 2^24; words split into two 16-bit halves).
+    def pick_rows(rows_f32):                                   # [T, S, 32]
+        return jnp.einsum("tqs,tsk->tqk", oh_s, rows_f32,
+                          preferred_element_type=jnp.float32)
+
+    base_row = pick_rows(wbase.astype(jnp.float32))            # [T, Q, 32]
+    lo_row = pick_rows((words.reshape(n_tiles, n_swords, 32)
+                        & jnp.int32(0xFFFF)).astype(jnp.float32))
+    hi_row = pick_rows(lsr(w3, 16).astype(jnp.float32))
+    sbase_j = jnp.einsum("tqs,ts->tq", oh_s, sbase.astype(jnp.float32))
+    jloc = j[None, :].astype(jnp.float32) - sbase_j            # [T, Q]
+
+    k_of_j = jnp.sum(
+        (base_row <= jloc[:, :, None]).astype(jnp.int32), axis=2
+    ) - 1                                                      # [T, Q]
+    k_of_j = jnp.maximum(k_of_j, 0)
+    oh_k = (k_of_j[:, :, None] == jnp.arange(32)[None, None, :])
+    pickk = lambda r: jnp.sum(jnp.where(oh_k, r, 0.0), axis=2)
+    word_j = (pickk(lo_row).astype(jnp.int32)
+              + (pickk(hi_row).astype(jnp.int32) << 16))       # [T, Q]
+    jj = (jloc - pickk(base_row)).astype(jnp.int32)            # rank in word
+
+    # level C: the jj-th set bit of word_j.
+    cnt = jnp.zeros_like(word_j)
+    b_of_j = jnp.zeros_like(word_j)
+    for b in range(32):
+        bit = lsr(word_j, b) & 1
+        b_of_j = jnp.where((bit == 1) & (cnt == jj), b, b_of_j)
+        cnt = cnt + bit
+    q_id = (s_of_j * 32 + k_of_j) * 32 + b_of_j
+    valid = j[None, :] < n_q[:, None]
+    return (jnp.where(valid, q_id, 0), jnp.minimum(n_q, max_q),
+            n_q > max_q)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "max_q", "seg_block"))
+def quarter_lists(
+    rays: Rays,
+    spheres: jax.Array,
+    tile: int,
+    max_q: int = 512,
+    seg_block: int = 8192,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-tile compacted quarter-id lists (the broadphase='qlist' product):
+    quarter-granularity dense cull + XLA set-bit compaction. Returns
+    (q_ids i32[n_tiles, max_q], n_q i32[n_tiles], overflow bool[n_tiles])."""
+    tmin, tmax = tile_aabbs(rays, tile)
+    words = masks_for_tile_aabbs(tmin, tmax, spheres, seg_block, block=32)
+    return compact_mask_words(words, max_q)
+
+
 def masks_for_tile_aabbs(
     tmin: jax.Array,
     tmax: jax.Array,

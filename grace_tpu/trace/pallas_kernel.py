@@ -446,6 +446,66 @@ def _trace_tile_kernel_quarter(
     out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
+def _trace_tile_kernel_qlist(
+    n_ref,          # SMEM (1, 1, 1) i32 — listed quarter count
+    qlist_ref,      # SMEM (1, 1, max_q) i32 — compacted quarter ids,
+    #                 entries >= n pre-padded with pad_qid (the appended
+    #                 all-zero slab) by the XLA side
+    rays_ref,       # VMEM (TILE, 16)
+    prims_ref,      # VMEM (n_segs + 1, 8, SEG) — resident slabs, last all 0
+    out_ref,        # VMEM (TILE, 1)
+    *,
+    mode: str,
+    integral_deg: int = HORNER1_DEG,
+    unroll: int,
+):
+    """Quarter kernel fed a PRE-COMPACTED list (broadphase='qlist'): the
+    vector phase of _trace_tile_kernel_quarter with zero in-kernel scalar
+    decode — the list comes from the XLA-side set-bit compaction
+    (pallas_broadphase.compact_mask_words). The scalar decode was the
+    per-tile fixed cost (~5k scalar cycles at bench scale) that made fine
+    ray tiles lose on hardware (r4 addendum in
+    benchmarks/results/general_trace_floor_r3.md); with it hoisted, tile
+    size can chase broadphase selectivity down to the seg-32 floor."""
+    tile = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
+    n = n_ref[0, 0, 0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, SEG), 1)
+
+    def assemble(base):
+        rs = []
+        for j in range(4):
+            q = qlist_ref[0, 0, base + j]
+            s = prims_ref[q >> 2]
+            # place source quarter (q & 3) at target lanes 32j..32j+31
+            sh = (((j - (q & 3)) & 3) * 32).astype(jnp.int32)
+            rs.append(pltpu.roll(s, sh, axis=1))
+        quad = lane >> 5
+        return jnp.where(quad == 0, rs[0],
+                         jnp.where(quad == 1, rs[1],
+                                   jnp.where(quad == 2, rs[2], rs[3])))
+
+    def body(ku, acc):
+        k = ku * unroll
+        for u in range(unroll):
+            slab = assemble((k + u) * 4)
+            acc = _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                               integral_deg=integral_deg)
+        return acc
+
+    def tail(k, acc):
+        slab = assemble(k * 4)
+        return _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
+                            integral_deg=integral_deg)
+
+    n_groups = (n + 3) >> 2
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_groups // unroll, body, acc0)
+    acc = jax.lax.fori_loop((n_groups // unroll) * unroll, n_groups, tail, acc)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+
 def _trace_tile_kernel_quarter_stream(
     summary_ref,    # SMEM (1, 1, n_swords) i32
     mask_ref,       # SMEM (1, 1, n_words) i32 quarter-granularity words
@@ -692,10 +752,13 @@ def pallas_trace_sph(
     tiles have incomplete sums — re-run with a larger max_chunks.
     ``broadphase``: 'dense' (default; hierarchical-free segment culling,
     see pallas_broadphase.py), 'quarter' (seg-32 culling granularity +
-    in-kernel slab assembly — the fastest general route for VMEM-resident
-    scenes, best at tile=128; see _trace_tile_kernel_quarter), or 'xla'
-    (lockstep BVH walk oracle). ``tree`` is only consulted by the 'xla'
-    broadphase and may be None otherwise.
+    in-kernel slab assembly; in-kernel scalar decode, works at any scene
+    size), 'qlist' (seg-32 culling with the decode hoisted into an XLA
+    set-bit compaction — zero scalar decode in the kernel, resident
+    scenes only, enables fine tiles; max_chunks bounds the per-tile list
+    and overflow is reported), or 'xla' (lockstep BVH walk oracle).
+    ``tree`` is only consulted by the 'xla' broadphase and may be None
+    otherwise.
     ``masks`` optionally supplies precomputed bitmask broadphase words
     (pallas_broadphase.masks_for_tile_aabbs over the SAME tile-padded rays
     and spheres) for callers that hoist/reuse the broadphase — ring
@@ -725,6 +788,52 @@ def pallas_trace_sph(
     packed_bm, r_pad_bm = _pack_rays(rays, tile)
     prims_bm, n_prim_pad_bm = _pack_prims(spheres)
     resident_bm = (n_prim_pad_bm // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if broadphase == "qlist":
+        # Seg-32 culling + XLA-side set-bit compaction: zero in-kernel
+        # scalar decode (see _trace_tile_kernel_qlist). Resident scenes
+        # only (the list-driven group assembly needs the appended zero
+        # slab; large scenes use broadphase='quarter' streaming).
+        from grace_tpu.trace.pallas_broadphase import quarter_lists
+
+        if not resident_bm:
+            raise ValueError(
+                "broadphase='qlist' requires the VMEM-resident regime; use "
+                "broadphase='quarter' for larger scenes")
+        if max_chunks % 4:
+            raise ValueError("qlist max_chunks must be a multiple of 4")
+        q_ids, n_q, overflow_q = quarter_lists(rays, spheres, tile,
+                                               max_q=max_chunks)
+        n_tiles = r_pad_bm // tile
+        n_segs_res = n_prim_pad_bm // SEG
+        pad_qid = n_segs_res * 4
+        q_ids = jnp.where(
+            jnp.arange(q_ids.shape[1])[None, :] < n_q[:, None], q_ids,
+            pad_qid)
+        prims3d = prims_bm.reshape(8, n_segs_res, SEG).transpose(1, 0, 2)
+        prims3d = jnp.concatenate(
+            [prims3d, jnp.zeros((1, 8, SEG), jnp.float32)], axis=0)
+        out = pl.pallas_call(
+            functools.partial(_trace_tile_kernel_qlist, mode=mode,
+                              integral_deg=integral_deg, unroll=unroll),
+            out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, q_ids.shape[1]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 16), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(n_q[:, None, None], q_ids[:, None, :], packed_bm, prims3d)
+        values = out[:n_rays, 0]
+        if mode == "hitcount":
+            values = values.astype(jnp.int32)
+        return values, overflow_q
     if broadphase == "quarter":
         # Seg-32 culling granularity + in-kernel 4-quarter slab assembly
         # (see _trace_tile_kernel_quarter); VMEM-resident slabs when the

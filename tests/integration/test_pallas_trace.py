@@ -138,6 +138,69 @@ def test_quarter_variant_matches_engine(rng):
     assert np.array_equal(np.array(got3), ref)
 
 
+def test_qlist_variant_matches_engine(rng):
+    """broadphase='qlist' (seg-32 cull + XLA set-bit compaction feeding the
+    list-driven assembly kernel — zero in-kernel scalar decode) must match
+    the engine exactly on hitcounts and the quarter kernel exactly on
+    integrals (identical pair set and op order)."""
+    ss, tree, _ = setup(rng)
+    rays = plane_parallel_random_rays(
+        jax.random.key(21), 16, 16, (0, 0, -2.0), (1, 0, 0), (0, 1, 0), 5.0)
+    got, ovf = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="hitcount", interpret=True,
+        broadphase="qlist")
+    assert not bool(np.array(ovf).any())
+    ref = np.array(trace_hitcounts_sph(rays, ss, tree))
+    assert np.array_equal(np.array(got), ref)
+    got_q, _ = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="cumulative", interpret=True,
+        broadphase="quarter")
+    got_l, _ = pallas_trace_sph(
+        rays, ss, tree, tile=64, mode="cumulative", interpret=True,
+        broadphase="qlist")
+    assert np.array_equal(np.array(got_l), np.array(got_q)), \
+        "qlist must bit-match the quarter kernel (same pairs, same order)"
+    # fine tiles + unroll tails + list overflow flag
+    got3, ovf3 = pallas_trace_sph(
+        rays, ss, tree, tile=32, mode="hitcount", interpret=True,
+        broadphase="qlist", unroll=4)
+    assert not bool(np.array(ovf3).any())
+    assert np.array_equal(np.array(got3), ref)
+    _, ovf_small = pallas_trace_sph(
+        rays, ss, tree, tile=64, max_chunks=4, mode="hitcount",
+        interpret=True, broadphase="qlist")
+    assert bool(np.array(ovf_small).any()), \
+        "a 4-entry list capacity must overflow on this scene"
+
+
+def test_compact_mask_words_exhaustive(rng):
+    """XLA set-bit compaction vs a numpy decode, random sparse + sign-bit
+    words, including empty tiles and exact-capacity rows."""
+    from grace_tpu.trace.pallas_broadphase import compact_mask_words
+
+    T, W, max_q = 9, 70, 64
+    words = np.zeros((T, W), np.int32)
+    for t in range(1, T):  # tile 0 stays empty
+        nset = int(rng.integers(0, 80)) if t < T - 1 else max_q  # exact cap
+        qs = rng.choice(W * 32, size=nset, replace=False)
+        for q in qs:
+            words[t, q // 32] |= np.int32(np.uint32(1 << (q % 32)))
+    import jax.numpy as jnp
+
+    ids, n_q, ovf = jax.jit(
+        lambda w: compact_mask_words(w, max_q))(jnp.asarray(words))
+    ids, n_q, ovf = np.asarray(ids), np.asarray(n_q), np.asarray(ovf)
+    for t in range(T):
+        bits = np.unpackbits(words[t].astype(np.uint32).view(np.uint8),
+                             bitorder="little")
+        exp = np.nonzero(bits)[0]
+        assert ovf[t] == (len(exp) > max_q)
+        exp = exp[:max_q]
+        assert n_q[t] == len(exp)
+        assert np.array_equal(ids[t, :n_q[t]], exp)
+        assert np.all(ids[t, n_q[t]:] == 0)
+
+
 def test_integral_deg_flavors_match_engine(rng):
     """The tunable Horner forms (lower-degree prefactor fits, and the
     sqrt-free direct fit encoded as negative degrees) must stay inside the
