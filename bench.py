@@ -305,19 +305,34 @@ def secondary_metrics(sorted_spheres, tree, rays_s, buckets, img_trace):
         "fused trace kernel hitcount parity FAILED on device"
     out["engine_parity_check"] = "ok"
 
-    log("secondary: general fused trace timing (quarter t128)")
+    log("secondary: general fused trace timing (qlist t128, r5 best)")
 
     def trace_body(i, acc):
         from grace_tpu.core.types import Rays
         rr = Rays(rays_s.origins, rays_s.directions,
                   rays_s.lengths + acc * 1e-38)
+        # qlist: seg-32 cull + XLA set-bit compaction (r5 sweep best at
+        # default deg-14 accuracy; see r5_hw_notes.md). deg=-10 adds
+        # another ~17% within the 5e-4 physics gate (reported separately).
         v, _ = pallas_trace_sph(rr, sorted_spheres, tree, tile=128,
-                                broadphase="quarter", unroll=8)
+                                broadphase="qlist", unroll=8)
         return acc + v[0] * 1e-38 + 1.0
 
     trace_ms = device_frame_ms(trace_body, k1=2, k2=8)
     out["general_trace_rays_per_s"] = N_RAYS / (trace_ms / 1e3)
     out["general_trace_ms"] = round(trace_ms, 2)
+
+    def trace_fast_body(i, acc):
+        from grace_tpu.core.types import Rays
+        rr = Rays(rays_s.origins, rays_s.directions,
+                  rays_s.lengths + acc * 1e-38)
+        v, _ = pallas_trace_sph(rr, sorted_spheres, tree, tile=128,
+                                broadphase="qlist", unroll=8,
+                                integral_deg=-10)
+        return acc + v[0] * 1e-38 + 1.0
+
+    trace_fast_ms = device_frame_ms(trace_fast_body, k1=2, k2=8)
+    out["general_trace_fast_rays_per_s"] = N_RAYS / (trace_fast_ms / 1e3)
 
     log("secondary: bucket prep timing")
     from grace_tpu.trace.splat import bucket_prims_ortho

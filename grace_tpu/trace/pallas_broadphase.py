@@ -210,15 +210,23 @@ def compact_mask_words(words: jax.Array, max_q: int):
 
     # level B: pick the sword's base/word rows with batched one-hot matmuls
     # (f32 exact: bases < 2^24; words split into two 16-bit halves).
+    # precision=HIGHEST is REQUIRED for exactness on TPU: the default
+    # matmul precision truncates f32 inputs to bf16 (8 mantissa bits —
+    # integer-exact only to 256), silently corrupting word bases and the
+    # 16-bit word halves on hardware while interpret/CPU runs stay exact.
+    # HIGHEST decomposes each f32 into 3 bf16 terms (24 mantissa bits,
+    # exact for these < 2^24 integer values) with f32 accumulation.
     def pick_rows(rows_f32):                                   # [T, S, 32]
         return jnp.einsum("tqs,tsk->tqk", oh_s, rows_f32,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
 
     base_row = pick_rows(wbase.astype(jnp.float32))            # [T, Q, 32]
     lo_row = pick_rows((words.reshape(n_tiles, n_swords, 32)
                         & jnp.int32(0xFFFF)).astype(jnp.float32))
     hi_row = pick_rows(lsr(w3, 16).astype(jnp.float32))
-    sbase_j = jnp.einsum("tqs,ts->tq", oh_s, sbase.astype(jnp.float32))
+    sbase_j = jnp.einsum("tqs,ts->tq", oh_s, sbase.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
     jloc = j[None, :].astype(jnp.float32) - sbase_j            # [T, Q]
 
     k_of_j = jnp.sum(

@@ -755,8 +755,9 @@ def pallas_trace_sph(
     in-kernel slab assembly; in-kernel scalar decode, works at any scene
     size), 'qlist' (seg-32 culling with the decode hoisted into an XLA
     set-bit compaction — zero scalar decode in the kernel, resident
-    scenes only, enables fine tiles; max_chunks bounds the per-tile list
-    and overflow is reported), or 'xla' (lockstep BVH walk oracle).
+    scenes only; max_chunks bounds the per-tile list and overflow is
+    reported; the fastest general route on hardware at tile=128 —
+    r5_hw_notes.md), or 'xla' (lockstep BVH walk oracle).
     ``tree`` is only consulted by the 'xla' broadphase and may be None
     otherwise.
     ``masks`` optionally supplies precomputed bitmask broadphase words
@@ -816,6 +817,10 @@ def pallas_trace_sph(
             functools.partial(_trace_tile_kernel_qlist, mode=mode,
                               integral_deg=integral_deg, unroll=unroll),
             out_shape=jax.ShapeDtypeStruct((r_pad_bm, 1), jnp.float32),
+            # the resident slab array alone exceeds Mosaic's default 16 MB
+            # scoped-vmem budget at bench scale (8193 slabs = 33.6 MB)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(prims3d.size) * 4 + 16 * 1024 * 1024),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
