@@ -136,7 +136,9 @@ def mode_tri(tiles):
             rr = Rays(rays.origins, rays.directions,
                       rays.lengths + acc * 1e-38)
             t, _, _ = pallas_trace_tri(rr, sorted_tris, tile=tile)
-            return acc + t[0] * 1e-38 + 1.0
+            # misses are +inf: probe only finite hits
+            probe = jnp.min(jnp.where(jnp.isfinite(t), t, 0.0))
+            return acc + probe * 1e-38 + 1.0
 
         ms = bench.device_frame_ms(body, k1=1, k2=5)
         print(f"tri closest-hit t{tile}: {ms:6.1f} ms  "

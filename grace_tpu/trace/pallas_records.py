@@ -563,7 +563,7 @@ def pallas_trace_sph_records(
     rank_method: str = "mxu",
     group: int = 8,
     drain: str = "pick",
-    broadphase: str = "bitmask",
+    broadphase: str = "auto",
 ) -> RecordTraceResult:
     """Single-pass fused per-hit trace (ref: trace_sph.cuh:111-168 re-designed
     — see module docstring). per_ray_capacity must be a multiple of 128.
@@ -582,9 +582,9 @@ def pallas_trace_sph_records(
     if rank_method not in ("prefix", "mxu"):
         raise ValueError(f"unknown rank_method {rank_method!r} (expected "
                          "'prefix' or 'mxu')")
-    if broadphase not in ("bitmask", "quarter"):
+    if broadphase not in ("auto", "bitmask", "quarter"):
         raise ValueError(f"unknown broadphase {broadphase!r} (expected "
-                         "'bitmask' or 'quarter')")
+                         "'auto', 'bitmask' or 'quarter')")
     n_rays = rays.n_rays
     pad = (-n_rays) % tile
     if pad:
@@ -596,6 +596,13 @@ def pallas_trace_sph_records(
     packed, r_pad = _pack_rays(rays, tile)
     prims, n_prim_pad = _pack_prims(spheres)
     resident = (n_prim_pad // SEG) * 8 * SEG * 4 <= vmem_resident_limit
+    if broadphase == "auto":
+        # quarter (seg-32) culling wins for resident scenes: halved pair
+        # tests AND halved listed slabs cut the drain's per-group fixed
+        # costs (r5 sweep: 176 vs 211 ms on the 38k-ray/9.5M-hit
+        # workload, benchmarks/results/r5_records_floor.md); streaming
+        # scenes keep the bitmask broadphase.
+        broadphase = "quarter" if resident else "bitmask"
 
     n_tiles = r_pad // tile
     cap = per_ray_capacity

@@ -30,7 +30,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from grace_tpu.core.types import Rays
-from grace_tpu.trace.broadphase import tile_aabbs
 from grace_tpu.trace.pallas_kernel import SEG, _pack_rays, _ray_columns
 
 EPS = 1e-7
@@ -63,50 +62,101 @@ def tri_segment_aabbs(tris: jax.Array):
             jnp.max(maxs.reshape(-1, SEG, 3), axis=1))
 
 
-def _dense_tile_segments_tri(rays: Rays, tris, tile: int, max_chunks: int):
+def clip_rays_to_aabb(rays: Rays, bmin, bmax) -> Rays:
+    """Clip ray lengths to the exit of an AABB (the mesh's bounds).
+
+    Hits can only exist inside the mesh AABB, so shrinking every ray to
+    its box-exit parameter (and to 0 for rays that miss the box) is
+    semantically free — and it is what lets miss lanes CLOSE in the
+    kernel's front-to-back termination test (r5: unclipped bench rays
+    were 5x longer than the scene, so a single miss lane kept its whole
+    tile running to the end of the segment list,
+    benchmarks/results/r5_hw_notes.md)."""
+    d = rays.directions
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    t0 = (bmin[None, :] - rays.origins) * inv
+    t1 = (bmax[None, :] - rays.origins) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=1)
+    hit_box = tf >= jnp.maximum(tn, 0.0)
+    ln = jnp.where(hit_box, jnp.minimum(rays.lengths, tf), 0.0)
+    return Rays(rays.origins, rays.directions, jnp.maximum(ln, 0.0))
+
+
+N_CULL_INTERVALS = 8
+
+
+def _dense_tile_segments_tri(rays: Rays, tris, tile: int, max_chunks: int,
+                             n_intervals: int = N_CULL_INTERVALS):
     """Per-tile triangle-segment lists, FRONT-TO-BACK ordered.
 
     Unlike the SPH cumulative kernels (order-free sums), closest-hit
     benefits enormously from distance order + early termination — the
     per-ray BVH descent the reference gets for free
     (kernels/bintree_trace.cuh) shows up here as: sort each tile's listed
-    segments by the conservative tile-box -> segment-box gap distance, and
-    let the kernel stop once every lane's current hit precedes the next
+    segments by a conservative entry-distance lower bound, and let the
+    kernel stop once every lane's current hit precedes the next
     segment's entry. Returns (seg_ids, seg_dist, n_segs, overflow) where
     seg_dist[t, c] is a LOWER BOUND on the ray parameter of any hit in
-    seg_ids[t, c] for unit-direction rays originating in tile t's box.
+    seg_ids[t, c] for unit-direction rays of tile t.
+
+    Culling is per (tile, parameter-interval): each ray's [0, len] span
+    is split into ``n_intervals`` equal parameter chunks and the AABB of
+    each chunk of the tile's rays is tested against the segment AABBs —
+    for a pinhole bundle these frustum-chunk boxes are FAR tighter than
+    the single origins+endpoints hull (r5, bench torus: 562 -> 185
+    listed segments/tile mean at K=8), and a segment first seen in
+    interval k inherits the interval-start parameter as an extra entry
+    lower bound. A segment between interval endpoint hulls always lies
+    in their combined AABB, so the union of interval boxes covers every
+    clipped ray point — the cull stays conservative.
     """
-    tmin, tmax = tile_aabbs(rays, tile)
     seg_min, seg_max = tri_segment_aabbs(tris)
-    overlap = (
-        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
-        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
-        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
-    )
-    # Entry-distance lower bound from the ORIGIN-only AABB of the tile's
-    # rays (t = |hit - origin| >= gap(origin_box, seg_box)). The full-span
-    # tile AABB (origins + endpoints, used for the overlap test) is useless
-    # here: it covers the whole ray extent, so its gap to almost every
-    # overlapped segment is ~0 and termination would never fire (for a
-    # pinhole camera the origin box is a point — the bound is exact
-    # camera-to-segment distance).
-    n_tiles = tmin.shape[0]
-    obox = rays.origins.reshape(n_tiles, -1, 3)
-    omin = jnp.min(obox, axis=1)
-    omax = jnp.max(obox, axis=1)
-    g2 = jnp.zeros(overlap.shape, jnp.float32)
+    n_tiles = rays.origins.shape[0] // tile
+    K = n_intervals
+    o = rays.origins.reshape(n_tiles, tile, 3)
+    d = rays.directions.reshape(n_tiles, tile, 3)
+    ln = jnp.maximum(rays.lengths, 0.0).reshape(n_tiles, tile)
+
+    # endpoint hulls B_k over the tile's rays at t = ln * k/K, k = 0..K
+    frac = jnp.arange(K + 1, dtype=jnp.float32) / K
+    pts = o[:, :, None, :] + d[:, :, None, :] * (
+        ln[:, :, None, None] * frac[None, None, :, None])
+    bmin = jnp.min(pts, axis=1)                     # [T, K+1, 3]
+    bmax = jnp.max(pts, axis=1)
+    imin = jnp.minimum(bmin[:, :-1], bmin[:, 1:])   # [T, K, 3] chunk boxes
+    imax = jnp.maximum(bmax[:, :-1], bmax[:, 1:])
+
+    ov = jnp.ones((n_tiles, K, seg_min.shape[0]), jnp.bool_)
+    for a in range(3):
+        ov = ov & (imin[:, :, a:a + 1] <= seg_max[None, None, :, a]) \
+                & (seg_min[None, None, :, a] <= imax[:, :, a:a + 1])
+    kfirst = jnp.min(
+        jnp.where(ov, jnp.arange(K, dtype=jnp.int32)[None, :, None], K),
+        axis=1)                                     # [T, S]; K = not listed
+    listed = kfirst < K
+
+    # Entry lower bound: max of (a) gap from the ORIGIN-only hull (exact
+    # camera distance for a pinhole) and (b) the first interval's start
+    # parameter (tile-min length * k/K).
+    omin = jnp.min(o, axis=1)
+    omax = jnp.max(o, axis=1)
+    g2 = jnp.zeros(listed.shape, jnp.float32)
     for a in range(3):
         g = jnp.maximum(seg_min[None, :, a] - omax[:, a:a + 1],
                         omin[:, a:a + 1] - seg_max[None, :, a])
         g = jnp.maximum(g, 0.0)
         g2 = g2 + g * g
-    dist = jnp.sqrt(g2)
-    key = jnp.where(overlap, dist, jnp.float32(BIG))
-    n_segs_total = overlap.shape[1]
+    ln_min = jnp.min(ln, axis=1)                    # [T]
+    t_lo = kfirst.astype(jnp.float32) / K * ln_min[:, None]
+    dist = jnp.maximum(jnp.sqrt(g2), t_lo)
+
+    key = jnp.where(listed, dist, jnp.float32(BIG))
+    n_segs_total = listed.shape[1]
     idx = jnp.broadcast_to(
-        jnp.arange(n_segs_total, dtype=jnp.int32)[None, :], overlap.shape)
+        jnp.arange(n_segs_total, dtype=jnp.int32)[None, :], listed.shape)
     key_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
-    n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    n_segs = jnp.sum(listed, axis=1).astype(jnp.int32)
     keep = min(max_chunks, n_segs_total)
     seg_ids = jnp.pad(idx_s[:, :keep], ((0, 0), (0, max_chunks - keep)))
     seg_dist = jnp.pad(key_s[:, :keep], ((0, 0), (0, max_chunks - keep)),
@@ -205,7 +255,7 @@ def _tri_kernel(n_segs_ref, segs_ref, dist_ref, rays_ref, tris_ref,
 def pallas_trace_tri(
     rays: Rays,
     tris: jax.Array,
-    tile: int = 128,
+    tile: int = 32,  # r5 sweep optimum with interval culling (r5_hw_notes)
     max_chunks: int = 2048,
     mode: str = "closest",
     interpret: bool = False,
@@ -224,6 +274,11 @@ def pallas_trace_tri(
             jnp.concatenate([rays.directions, jnp.broadcast_to(rays.directions[-1:], (pad, 3))]),
             jnp.concatenate([rays.lengths, jnp.full((pad,), -1.0, jnp.float32)]),
         )
+    # Clip every ray to the mesh-AABB exit (semantically free — no hit can
+    # lie outside it) so miss lanes can close in the front-to-back
+    # termination test and the interval cull sees true spans.
+    rays = clip_rays_to_aabb(rays, jnp.min(tris, axis=(0, 1)),
+                             jnp.max(tris, axis=(0, 1)))
     seg_ids, seg_dist, n_segs, overflow = _dense_tile_segments_tri(
         rays, tris, tile, max_chunks)
     packed, r_pad = _pack_rays(rays, tile)
