@@ -253,7 +253,9 @@ def main(sharded: bool = False):
         im = splat_image(bb, tile_w=32, tile_h=128, basis="deg8")
         return acc + im[0, 0] * 1e-38 + 1.0
 
-    splat_ms = device_frame_ms(splat_body)
+    # reps=5: the headline is the scoreboard number — extra best-of reps
+    # cost ~1 s total and cut the observed ~11% run-to-run variance.
+    splat_ms = device_frame_ms(splat_body, reps=5)
     rays_per_s = N_RAYS / (splat_ms / 1e3)
 
     # THE headline line: printed the moment it is known, flushed, so a hang

@@ -3,6 +3,32 @@ Möller-Trumbore semantics incl. back-face culling, closest-hit correctness
 vs brute force, and an end-to-end shaded render."""
 
 import numpy as np
+import jax.numpy as jnp
+
+from grace_tpu.core.types import Rays
+from grace_tpu.trace.pallas_tri import clip_rays_to_aabb
+
+
+def test_clip_rays_to_aabb_edges():
+    """Mesh-AABB ray clipping (r5): axis-parallel rays, origins inside the
+    box, rays missing the box, and rays shorter than the box exit."""
+    bmin = jnp.asarray([0.0, 0.0, 0.0])
+    bmax = jnp.asarray([1.0, 1.0, 1.0])
+    o = np.array([
+        [0.5, 0.5, -1.0],   # enters front, exits back: exit t = 2
+        [0.5, 0.5, 0.5],    # inside: exit t = 0.5
+        [2.0, 0.5, 0.5],    # points away: miss
+        [0.5, 2.0, -1.0],   # passes above: miss
+        [0.5, 0.5, -1.0],   # shorter than exit: length kept
+    ], np.float32)
+    d = np.array([
+        [0, 0, 1], [0, 0, 1], [1, 0, 0], [0, 0, 1], [0, 0, 1],
+    ], np.float32)
+    ln = np.array([10.0, 10.0, 10.0, 10.0, 1.5], np.float32)
+    out = clip_rays_to_aabb(Rays(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(ln)), bmin, bmax)
+    got = np.asarray(out.lengths)
+    np.testing.assert_allclose(got, [2.0, 0.5, 0.0, 0.0, 1.5], atol=1e-6)
 import jax
 import jax.numpy as jnp
 
