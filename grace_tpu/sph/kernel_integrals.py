@@ -241,6 +241,21 @@ def direct_coeffs(deg: int) -> np.ndarray:
     return _DIRECT_CACHE[deg]
 
 
+def cubic_spline_line_integral_direct_raw(u, deg: int):
+    """UNMASKED direct-fit Horner: poly(min(u, 1)) of degree ``deg`` with
+    NO out-of-support zeroing — for callers that already hold a validity
+    mask and fuse the u < 1 test into their own select (the fused trace
+    kernels' per-pair hot loop, _seg_compute). Equivalent to
+    ``cubic_spline_line_integral_horner1(u, -deg)`` wherever u < 1."""
+    u = jnp.asarray(u, jnp.float32)
+    coeffs = direct_coeffs(deg)
+    t = 2.0 * jnp.minimum(u, 1.0) - 1.0
+    acc = jnp.float32(coeffs[deg])
+    for k in range(deg - 1, -1, -1):
+        acc = acc * t + jnp.float32(coeffs[k])
+    return acc
+
+
 def cubic_spline_line_integral_horner1(u, deg: int = HORNER1_DEG):
     """F(beta) from u = beta^2 via a single-piece Horner form.
 

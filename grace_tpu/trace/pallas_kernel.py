@@ -147,9 +147,19 @@ def _seg_compute(slab, ox, oy, oz, dx, dy, dz, ln, acc, mode,
 
     if mode == "cumulative":
         inv_h2 = slab[4:5, :]
-        f = cubic_spline_line_integral_horner1(b2 * inv_h2,
-                                               deg=integral_deg)  # 0 outside support
-        return acc + jnp.where(along, f * inv_h2, 0.0)
+        u = b2 * inv_h2
+        if integral_deg < 0:
+            # direct fit: fuse its u < 1 support test into the along
+            # select — one where + compare per pair instead of two
+            # (the hot loop runs ~13 effective ops/pair; see
+            # general_trace_floor_r3.md r5 addendum).
+            from grace_tpu.sph.kernel_integrals import (
+                cubic_spline_line_integral_direct_raw)
+
+            f = cubic_spline_line_integral_direct_raw(u, -integral_deg)
+            return acc + jnp.where(along & (u < 1.0), f * inv_h2, 0.0)
+        f = cubic_spline_line_integral_horner1(u, deg=integral_deg)
+        return acc + jnp.where(along, f * inv_h2, 0.0)  # 0 outside support
     h2 = slab[5:6, :]
     hit = (b2 < h2) & along
     return acc + hit.astype(jnp.float32)

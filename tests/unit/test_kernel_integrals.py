@@ -110,3 +110,27 @@ def test_coefficient_cache_matches_fresh_derivation():
                                               domain=[-1, 1])
     fresh = np.asarray(c.convert(kind=np.polynomial.Polynomial).coef)
     np.testing.assert_array_equal(direct_coeffs(12), fresh)
+
+
+def test_direct_raw_matches_masked_form():
+    """The unmasked direct-fit Horner (for callers fusing the u < 1
+    support test into their own select — the r5 trace hot loop) must be
+    bitwise-equal to the masked horner1 flavor inside the support and is
+    simply unmasked outside it."""
+    import jax.numpy as jnp
+
+    from grace_tpu.sph.kernel_integrals import (
+        cubic_spline_line_integral_direct_raw,
+        cubic_spline_line_integral_horner1,
+    )
+
+    u = jnp.asarray(np.concatenate([
+        np.linspace(0.0, 0.9999, 301), [1.0, 1.5, 10.0, 1e6]
+    ]).astype(np.float32))
+    for d in (10, 12):
+        raw = np.asarray(cubic_spline_line_integral_direct_raw(u, d))
+        masked = np.asarray(cubic_spline_line_integral_horner1(u, -d))
+        inside = np.asarray(u) < 1.0
+        assert np.array_equal(raw[inside], masked[inside])
+        assert np.all(masked[~inside] == 0.0)
+        assert np.all(np.isfinite(raw))
