@@ -40,13 +40,15 @@ def main():
     from grace_tpu.io.images import to_colormap, write_bmp
     from grace_tpu.models.triangle import render_triangles
 
-    res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    if len(sys.argv) > 1:
+    ply = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].endswith(".ply") else None
+    off = 1 if ply else 0
+    res = int(sys.argv[1 + off]) if len(sys.argv) > 1 + off else 512
+    if ply:
         from grace_tpu.io.ply import read_ply
 
-        verts, faces = read_ply(sys.argv[1])
+        verts, faces = read_ply(ply)
         tris = verts[faces]
-        print(f"{faces.shape[0]} triangles from {sys.argv[1]}")
+        print(f"{faces.shape[0]} triangles from {ply}")
     else:
         tris = torus_mesh()
         print(f"procedural torus: {tris.shape[0]} triangles")
