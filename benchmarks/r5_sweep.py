@@ -122,8 +122,11 @@ def mode_tri(tiles):
     n_rays = rays.n_rays
 
     ref_t = None
-    for tile in tiles:
-        t_hit, tri_id, ovf = pallas_trace_tri(rays, sorted_tris, tile=tile)
+    for spec in tiles:
+        tile, K = (int(spec.split(":")[0]),
+                   int(spec.split(":")[1]) if ":" in str(spec) else 8)
+        t_hit, tri_id, ovf = pallas_trace_tri(rays, sorted_tris, tile=tile,
+                                              n_cull_intervals=K)
         assert not bool(jnp.any(ovf))
         hits = int(jnp.sum(tri_id >= 0))
         if ref_t is None:
@@ -132,16 +135,17 @@ def mode_tri(tiles):
             same = bool(jnp.all((t_hit == ref_t)))
             assert same, f"tile {tile} changes closest-hit t values"
 
-        def body(i, acc, tile=tile):
+        def body(i, acc, tile=tile, K=K):
             rr = Rays(rays.origins, rays.directions,
                       rays.lengths + acc * 1e-38)
-            t, _, _ = pallas_trace_tri(rr, sorted_tris, tile=tile)
+            t, _, _ = pallas_trace_tri(rr, sorted_tris, tile=tile,
+                                       n_cull_intervals=K)
             # misses are +inf: probe only finite hits
             probe = jnp.min(jnp.where(jnp.isfinite(t), t, 0.0))
             return acc + probe * 1e-38 + 1.0
 
         ms = bench.device_frame_ms(body, k1=1, k2=5)
-        print(f"tri closest-hit t{tile}: {ms:6.1f} ms  "
+        print(f"tri closest-hit t{tile} K{K}: {ms:6.1f} ms  "
               f"{n_rays/(ms/1e3)/1e6:5.2f} M rays/s  ({hits} hits)",
               flush=True)
 
@@ -293,7 +297,7 @@ if __name__ == "__main__":
     if mode == "trace":
         mode_trace(args)
     elif mode == "tri":
-        mode_tri([int(a) for a in args])
+        mode_tri(args)
     elif mode == "rec":
         mode_rec(args)
     elif mode == "recmodel":
