@@ -54,30 +54,6 @@ def segment_aabbs(spheres: jax.Array,
     return seg_min, seg_max
 
 
-def cull_segments(tmin, tmax, seg_min, seg_max, max_chunks: int):
-    """Dense AABB-overlap cull + per-row compaction into ascending unique
-    segment-id lists. Shared by the SPH and triangle trace paths."""
-    # Six [n_tiles, n_segs] comparisons instead of one [n_tiles, n_segs, 3]
-    # broadcast: a trailing dim of 3 occupies 3 of 128 lanes and makes XLA
-    # materialize 42x-padded temporaries (measured 25 ms -> ~1 ms at 2048
-    # tiles x 8192 segments).
-    overlap = (
-        (tmin[:, 0:1] <= seg_max[None, :, 0]) & (seg_min[None, :, 0] <= tmax[:, 0:1])
-        & (tmin[:, 1:2] <= seg_max[None, :, 1]) & (seg_min[None, :, 1] <= tmax[:, 1:2])
-        & (tmin[:, 2:3] <= seg_max[None, :, 2]) & (seg_min[None, :, 2] <= tmax[:, 2:3])
-    )  # [n_tiles, n_segs]
-    n_segs = jnp.sum(overlap, axis=1).astype(jnp.int32)
-    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
-    keep = min(max_chunks, order.shape[1])
-    seg_ids = order[:, :keep].astype(jnp.int32)
-    seg_ids = jnp.pad(seg_ids, ((0, 0), (0, max_chunks - keep)))
-    seg_ids = jnp.where(
-        jnp.arange(max_chunks)[None, :] < n_segs[:, None], seg_ids, 0
-    )
-    overflow = n_segs > max_chunks
-    return seg_ids, jnp.minimum(n_segs, max_chunks), overflow
-
-
 def pack_overlap_bits(overlap: jax.Array) -> jax.Array:
     """Pack a bool [n_tiles, n_segs] overlap matrix into i32 bitmask words
     [n_tiles, n_segs/32] (bit s of word w = segment w*32+s).
@@ -321,8 +297,12 @@ def dense_tile_segments(
     """Per-tile ascending, unique 128-aligned segment ids by dense culling.
 
     Returns (seg_ids i32[n_tiles, max_chunks], n_segs i32[n_tiles],
-    overflow bool[n_tiles]).
+    overflow bool[n_tiles]). r5: the per-row compaction is the
+    vectorized set-bit compaction (compact_mask_words) over the packed
+    overlap bitmask — the stable-argsort it replaces (cull_segments)
+    cost ~46 ms at 4096x8192 (half an r1 frame); the bitmask pack +
+    compaction is ~1 ms at that shape with identical output semantics.
     """
     tmin, tmax = tile_aabbs(rays, tile)
-    seg_min, seg_max = segment_aabbs(spheres)
-    return cull_segments(tmin, tmax, seg_min, seg_max, max_chunks)
+    words = masks_for_tile_aabbs(tmin, tmax, spheres)
+    return compact_mask_words(words, max_chunks)
