@@ -48,39 +48,63 @@ from grace_tpu.trace.pallas_kernel import SEG, _pack_rays, _ray_columns
 
 
 def _pack_prims_3d(spheres: jax.Array, weights: Optional[jax.Array]):
-    """(n_segs, 8, SEG) slabs: rows x, y, z, h, w, 3 pad."""
+    """(n_segs, 8, SEG) slabs: rows x, y, z, h, w, 1/h^2, h^2, pad.
+
+    The derived rows are baked here (like pallas_kernel._pack_prims) so
+    the hot forward never divides; h = 0 padding has inv_h2 = 0 and can
+    never hit (b2 < h^2 = 0 is false)."""
     n = spheres.shape[0]
     n_pad = ((n + SEG - 1) // SEG) * SEG
     p = jnp.pad(spheres, ((0, n_pad - n), (0, 0)))
     w = jnp.ones((n_pad,), jnp.float32) if weights is None else jnp.pad(
         jnp.asarray(weights, jnp.float32), ((0, n_pad - n),))
-    pt = jnp.concatenate([jnp.transpose(p), w[None, :],
-                          jnp.zeros((3, n_pad), jnp.float32)], axis=0)
+    pt = jnp.transpose(p)
+    h = pt[3:4, :]
+    h2 = h * h
+    inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
+    pt = jnp.concatenate([pt, w[None, :], inv_h2, h2,
+                          jnp.zeros((1, n_pad), jnp.float32)], axis=0)
     return pt.reshape(8, n_pad // SEG, SEG).transpose(1, 0, 2), n_pad
 
 
-def _fwd_kernel(n_segs_ref, segs_ref, rays_ref, prims_ref, out_ref):
+def _fwd_kernel(n_segs_ref, segs_ref, rays_ref, prims_ref, out_ref, *,
+                unroll: int = 8):
+    """Forward kernel, structured like _trace_tile_kernel_resident (r5):
+    (tile, SEG) matrix accumulator (the cross-lane reduction runs ONCE per
+    tile, not per slab), unrolled main loop, prebaked 1/h^2 and h^2 rows.
+    The integral stays cubic_spline_line_integral_poly(fast=True) — its
+    exact derivative is what the backward kernel applies, and fwd/bwd must
+    agree to f32 rounding."""
     tile = rays_ref.shape[0]
     ox, oy, oz, dx, dy, dz, ln = _ray_columns(rays_ref)
     n = n_segs_ref[0, 0, 0]
 
-    def body(k, acc):
-        slab = prims_ref[segs_ref[0, 0, k]]
+    def compute(slab, acc):
         px, py, pz = slab[0:1, :], slab[1:2, :], slab[2:3, :]
-        ph, pw = slab[3:4, :], slab[4:5, :]
+        pw, inv_h2, h2 = slab[4:5, :], slab[5:6, :], slab[6:7, :]
         rx, ry, rz = px - ox, py - oy, pz - oz
         dot = rx * dx + ry * dy + rz * dz
         bx = rx - dot * dx
         by = ry - dot * dy
         bz = rz - dot * dz
         b2 = bx * bx + by * by + bz * bz
-        h2 = ph * ph
         hit = (b2 < h2) & (dot >= 0.0) & (dot < ln)
-        inv_h2 = jnp.where(h2 > 0.0, 1.0 / jnp.maximum(h2, 1e-30), 0.0)
         contrib = pw * cubic_spline_line_integral_poly(b2 * inv_h2, fast=True) * inv_h2
-        return acc + jnp.sum(jnp.where(hit, contrib, 0.0), axis=1, keepdims=True)
+        return acc + jnp.where(hit, contrib, 0.0)
 
-    out_ref[...] = jax.lax.fori_loop(0, n, body, jnp.zeros((tile, 1), jnp.float32))
+    def body(ku, acc):
+        k = ku * unroll
+        for u in range(unroll):
+            acc = compute(prims_ref[segs_ref[0, 0, k + u]], acc)
+        return acc
+
+    def tail(k, acc):
+        return compute(prims_ref[segs_ref[0, 0, k]], acc)
+
+    acc0 = jnp.zeros((tile, SEG), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // unroll, body, acc0)
+    acc = jax.lax.fori_loop((n // unroll) * unroll, n, tail, acc)
+    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 def _bwd_kernel(
