@@ -8,8 +8,8 @@ and a timed-out process loses its results):
       broadphase:tile:unroll:integral_deg configs (VERDICT r4 #2+#3);
       each parity-checked against the deg-14 bitmask kernel (exact for
       deg 14, 5e-4 physics gate otherwise).
-  python benchmarks/r5_sweep.py tri 64 128 256        # triangle closest-
-      hit fused kernel tile sweep, post front-to-back termination
+  python benchmarks/r5_sweep.py tri 32:16 64:8        # triangle closest-
+      hit fused kernel sweep over tile[:n_cull_intervals] specs
       (VERDICT r4 #4); torus 262k tris, 512^2 pinhole rays.
   python benchmarks/r5_sweep.py rec pick:32:mxu:8 pick:32:mxu:8:quarter
       records drain configs (r3 harness syntax + broadphase slot)
