@@ -68,3 +68,22 @@ def test_build_misuse_raises(rng):
         build_sph_tree(spheres, 0)
     with pytest.raises(GraceError):
         build_sph_tree(spheres, 8)  # max_per_leaf must be < N
+
+
+def test_device_frame_ms_harness_on_cpu():
+    """The chained-frame timing harness (bench.device_frame_ms) must
+    produce a finite per-frame time for a trivial data-dependent body —
+    this is the measurement primitive every hardware number relies on."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    import bench
+
+    def body(i, acc):
+        return acc * 1.0000001 + 1.0
+
+    ms = bench.device_frame_ms(body, k1=2, k2=10, reps=2)
+    assert isinstance(ms, float)
+    # slope of a trivial body is tiny but must be finite and not absurd
+    assert -1.0 < ms < 1000.0
