@@ -31,7 +31,6 @@ independent fused Pallas trace kernel (quarter broadphase; exact same
 integral as the bitmask kernel, r4 sweep).
 """
 
-import functools
 import json
 import os
 import sys
